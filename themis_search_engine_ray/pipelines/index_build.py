@@ -1,0 +1,240 @@
+"""End-to-end inverted-index build over transcript Parquet (Ray Data).
+
+Dataflow per build partition (a disjoint group of input files):
+
+    read_parquet(cols: conv_id, turn_idx, text)       # prune at the read
+      ├─ map_batches(DocStatsBatcher)  → doc_stats/salt=*/   (parquet)
+      └─ map_batches(FragmentBatcher)  → posting fragments   (combiner)
+           groupby("gkey")                              # THE shuffle
+           map_groups(SegmentWriter)    → segments/seg-*.parquet
+                                        → per-group manifest rows
+
+Finalize (across partitions):
+    read segments (term, df) → groupby(term).sum → term_stats/   (global df)
+    read doc_stats (dl)      → Count, Sum        → meta.json (N, avgdl)
+
+Checkpoint / lineage / resume (north_rule): each partition writes its
+output under ``partitions/p{i:05d}/`` and then an atomic manifest JSON
+``manifest/p{i:05d}.json`` recording input files, analyzer-config
+fingerprint, metrics (docs, postings, bytes, seconds) and output files.
+A rerun skips partitions whose manifest exists *and* matches the
+current config fingerprint + input list; finalize runs over whatever
+partitions are complete. Killing the build between partitions and
+rerunning produces byte-identical index content (tests/test_resume).
+
+The reference equivalent is the single-threaded partial-index dump +
+fastmerge + infos.idx write (``themis/indexer/Indexer.java:238-500``,
+776-902) — here the Ray Data streaming executor parallelizes the scan
+and the shuffle replaces the merge; nothing is materialized driver-side
+except tiny metrics tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+import pyarrow.parquet as pq
+
+from ..functions.analyzer import AnalyzerConfig, DEFAULT_CONFIG
+from ..stages.encode import SegmentWriter
+from ..stages.tokenize import DocStatsBatcher, FragmentBatcher
+
+
+@dataclass
+class BuildConfig:
+    salt_bits: int = 2  # 2^salt_bits doc-range shards (salting + serving shards)
+    term_parts: int = 8  # term-hash partitions per salt bucket
+    with_positions: bool = True
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+    batch_size: int = 1024  # turns per tokenize batch
+    num_partitions: int = 1  # build partitions (checkpoint granularity)
+
+    @property
+    def num_shards(self) -> int:
+        return 1 << self.salt_bits
+
+    def fingerprint(self) -> str:
+        return (
+            f"{self.analyzer.fingerprint};salt_bits={self.salt_bits};"
+            f"parts={self.term_parts};pos={int(self.with_positions)}"
+        )
+
+
+def _list_input_files(input_path: str | list[str]) -> list[str]:
+    if isinstance(input_path, list):
+        return sorted(input_path)
+    if os.path.isdir(input_path):
+        return sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+    return [input_path]
+
+
+def _partition_files(files: list[str], n: int) -> list[list[str]]:
+    n = max(1, min(n, len(files)))
+    return [files[i::n] for i in range(n)]
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def build_partition(
+    pid: int, files: list[str], out_dir: str, cfg: BuildConfig
+) -> dict:
+    """Build one partition's doc_stats + segments; return its manifest."""
+    import ray.data as rd
+
+    t0 = time.time()
+    pdir = os.path.join(out_dir, "partitions", f"p{pid:05d}")
+    seg_dir = os.path.join(pdir, "segments")
+    ds_dir = os.path.join(pdir, "doc_stats")
+    os.makedirs(seg_dir, exist_ok=True)
+
+    turns = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+
+    # doc stats (no stemming; cheap pass)
+    stats_ds = turns.map_batches(
+        DocStatsBatcher(cfg.analyzer, cfg.salt_bits),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+    )
+    stats_ds.write_parquet(ds_dir, partition_cols=["salt"])
+
+    # posting fragments -> groupby(gkey) shuffle -> encoded segments
+    frags = turns.map_batches(
+        FragmentBatcher(cfg.analyzer, cfg.salt_bits, cfg.term_parts, cfg.with_positions),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+    )
+    writer = SegmentWriter(seg_dir, cfg.with_positions)
+
+    def write_segment_group(group):
+        return writer(group)
+
+    manifest_rows = (
+        frags.groupby("gkey")
+        .map_groups(write_segment_group, batch_format="pyarrow")
+        .to_pandas()  # tiny: one row per gkey group
+    )
+
+    # partition doc-count metrics from the written doc_stats (column scan)
+    import pyarrow.dataset as pads
+
+    dstab = pads.dataset(ds_dir, format="parquet").to_table(columns=["dl"])
+    n_docs = dstab.num_rows
+    sum_dl = int(dstab["dl"].to_pandas().sum()) if n_docs else 0
+
+    manifest = {
+        "partition": pid,
+        "input_files": files,
+        "config_fingerprint": cfg.fingerprint(),
+        "metrics": {
+            "n_docs": int(n_docs),
+            "sum_dl": sum_dl,
+            "n_postings": int(manifest_rows["n_postings"].sum()) if len(manifest_rows) else 0,
+            "n_groups": int(len(manifest_rows)),
+            "seg_bytes": int(manifest_rows["bytes"].sum()) if len(manifest_rows) else 0,
+            "build_seconds": round(time.time() - t0, 3),
+        },
+        "segments": sorted(manifest_rows["file"].tolist()),
+    }
+    return manifest
+
+
+def build_index(
+    input_path: str | list[str],
+    out_dir: str,
+    cfg: BuildConfig | None = None,
+) -> dict:
+    """Build (or resume) the full index at ``out_dir``. Returns meta dict."""
+    cfg = cfg or BuildConfig()
+    files = _list_input_files(input_path)
+    parts = _partition_files(files, cfg.num_partitions)
+    man_dir = os.path.join(out_dir, "manifest")
+    os.makedirs(man_dir, exist_ok=True)
+
+    built, skipped = 0, 0
+    for pid, pfiles in enumerate(parts):
+        mpath = os.path.join(man_dir, f"p{pid:05d}.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                prev = json.load(f)
+            if (
+                prev.get("config_fingerprint") == cfg.fingerprint()
+                and prev.get("input_files") == pfiles
+            ):
+                skipped += 1
+                continue  # checkpointed partition: skip (resume)
+        manifest = build_partition(pid, pfiles, out_dir, cfg)
+        _atomic_write_json(mpath, manifest)
+        built += 1
+
+    meta = finalize_index(out_dir, cfg, n_partitions=len(parts))
+    meta["partitions_built"] = built
+    meta["partitions_skipped"] = skipped
+    return meta
+
+
+def finalize_index(out_dir: str, cfg: BuildConfig, n_partitions: int) -> dict:
+    """Global term df aggregation + corpus stats; idempotent."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    man_dir = os.path.join(out_dir, "manifest")
+    manifests = []
+    for f in sorted(os.listdir(man_dir)):
+        if f.endswith(".json"):
+            with open(os.path.join(man_dir, f)) as fh:
+                manifests.append(json.load(fh))
+
+    n_docs = sum(m["metrics"]["n_docs"] for m in manifests)
+    sum_dl = sum(m["metrics"]["sum_dl"] for m in manifests)
+    # averageLength = sum/count as a plain double division (Indexer.java:472)
+    avgdl = sum_dl / n_docs if n_docs else 0.0
+
+    seg_files = []
+    for m in manifests:
+        pdir = os.path.join(out_dir, "partitions", f"p{m['partition']:05d}", "segments")
+        seg_files.extend(os.path.join(pdir, s) for s in m["segments"])
+
+    ts_dir = os.path.join(out_dir, "term_stats")
+    if seg_files:
+        (
+            rd.read_parquet(seg_files, columns=["term", "df"])
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+            .write_parquet(ts_dir)
+        )
+
+    meta = {
+        "version": 1,
+        "n_docs": int(n_docs),
+        "sum_dl": int(sum_dl),
+        "avgdl": avgdl,
+        "salt_bits": cfg.salt_bits,
+        "num_shards": cfg.num_shards,
+        "term_parts": cfg.term_parts,
+        "with_positions": cfg.with_positions,
+        "config_fingerprint": cfg.fingerprint(),
+        "analyzer": asdict(cfg.analyzer),
+        "n_partitions": n_partitions,
+        "n_postings": sum(m["metrics"]["n_postings"] for m in manifests),
+    }
+    _atomic_write_json(os.path.join(out_dir, "meta.json"), meta)
+    return meta
+
+
+def load_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return json.load(f)

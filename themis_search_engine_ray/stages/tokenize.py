@@ -1,0 +1,196 @@
+"""Ray Data batch stages for the index build (stateless map_batches fns).
+
+Replaces the reference's single-threaded per-doc build loop
+(``themis/indexer/Indexer.java:280-465``) with two vectorizable batch
+transforms over zero-copy Arrow batches of transcript turns:
+
+* :class:`DocStatsBatcher` — per-turn doc stats (doc_id, dl, salt); no
+  stemming needed (dl counts raw non-stopword tokens, Indexer.java:381).
+* :class:`FragmentBatcher` — per-batch *partial posting fragments*, the
+  combiner that shrinks the groupby-on-term shuffle: one row per
+  (term, salt) per batch carrying binary-packed numpy arrays
+  (doc_ids u64, tfs f64, per-doc position counts u32 + positions u32).
+
+Doc identity / sharding scheme
+------------------------------
+``doc_id = blake2b64(conv_id \\x1f turn_idx) & (2^63-1)`` — stable,
+shuffle-free, uniform. ``salt = doc_id >> (63 - salt_bits)`` — the top
+bits, so each salt bucket is a contiguous doc_id *range*: per-term
+posting runs from different salt buckets are disjoint, sorted ranges
+that concatenate in salt order without re-sorting. This doubles as the
+explicit skew handling demanded by the north_rule: every term — in
+particular high-df hot terms — is split across all ``2^salt_bits``
+buckets, bounding the largest shuffle group at ~df/S.
+
+Group key for the shuffle: ``gkey = salt * term_parts + h(term) % term_parts``
+so one shuffle group = (doc-range bucket × term-hash partition), sized
+by construction to fit a worker's heap.
+
+Collision note: 63-bit pair hashing is exact at test/bench scale and has
+~3e-6 expected collisions at 10^9 turns; a deployment at the full
+10^12-turn design point should switch ``doc_key`` to the dense
+per-partition assignment documented in README §scale (file_idx<<40|row),
+which needs no shuffle either.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.analyzer import AnalyzerConfig, DEFAULT_CONFIG, STOPWORDS, analyze_doc, tokenize
+
+
+def doc_key(conv_id: str, turn_idx: int) -> int:
+    h = hashlib.blake2b(f"{conv_id}\x1f{turn_idx}".encode(), digest_size=8).digest()
+    return int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF
+
+
+@lru_cache(maxsize=1 << 20)
+def term_part(term: str, parts: int) -> int:
+    h = hashlib.blake2b(term.encode(), digest_size=8).digest()
+    return int.from_bytes(h, "little") % parts
+
+
+def doc_keys_batch(conv_ids, turn_idxs) -> np.ndarray:
+    out = np.empty(len(conv_ids), dtype=np.uint64)
+    for i, (c, t) in enumerate(zip(conv_ids, turn_idxs)):
+        out[i] = doc_key(c, t)
+    return out
+
+
+class DocStatsBatcher:
+    """(conv_id, turn_idx, text) -> (doc_id, conv_id, turn_idx, dl, salt)."""
+
+    def __init__(self, config: AnalyzerConfig = DEFAULT_CONFIG, salt_bits: int = 2):
+        self.config = config
+        self.salt_bits = salt_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        turn = batch["turn_idx"].to_pylist()
+        texts = batch["text"].to_pylist()
+        use_stop = self.config.use_stopwords
+        dls = np.empty(len(texts), dtype=np.int32)
+        for i, t in enumerate(texts):
+            toks = tokenize(t if t is not None else "")
+            if use_stop:
+                # dl counts every occurrence of non-stopword tokens
+                dls[i] = sum(1 for x in toks if x not in STOPWORDS)
+            else:
+                dls[i] = len(toks)
+        ids = doc_keys_batch(conv, turn)
+        salts = (ids >> np.uint64(63 - self.salt_bits)).astype(np.int32)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids.astype(np.int64)),
+                batch["conv_id"],
+                batch["turn_idx"],
+                pa.array(dls),
+                pa.array(salts),
+            ],
+            names=["doc_id", "conv_id", "turn_idx", "dl", "salt"],
+        )
+
+
+FRAGMENT_SCHEMA = pa.schema(
+    [
+        ("gkey", pa.int64()),
+        ("salt", pa.int32()),
+        ("term", pa.string()),
+        ("docs", pa.large_binary()),  # u64 LE array
+        ("tfs", pa.large_binary()),  # f64 LE array
+        ("npos", pa.large_binary()),  # u32 LE per-doc position counts
+        ("pos", pa.large_binary()),  # u32 LE concatenated positions
+    ]
+)
+
+
+class FragmentBatcher:
+    """Turn batches into per-(term, salt) posting fragments (the combiner)."""
+
+    def __init__(
+        self,
+        config: AnalyzerConfig = DEFAULT_CONFIG,
+        salt_bits: int = 2,
+        term_parts: int = 16,
+        with_positions: bool = True,
+    ):
+        self.config = config
+        self.salt_bits = salt_bits
+        self.term_parts = term_parts
+        self.with_positions = with_positions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        turn = batch["turn_idx"].to_pylist()
+        texts = batch["text"].to_pylist()
+        ids = doc_keys_batch(conv, turn)
+        shift = np.uint64(63 - self.salt_bits)
+
+        # term -> ([doc_id], [tf], [positions])
+        acc: dict[str, list] = {}
+        for i, t in enumerate(texts):
+            doc = analyze_doc(t if t is not None else "", self.config)
+            did = int(ids[i])
+            for stem, tf in doc.tfs.items():
+                entry = acc.get(stem)
+                if entry is None:
+                    entry = acc[stem] = ([], [], [])
+                entry[0].append(did)
+                entry[1].append(tf)
+                if self.with_positions:
+                    entry[2].append(doc.positions[stem])
+
+        gkeys, salts, terms, docs_b, tfs_b, npos_b, pos_b = [], [], [], [], [], [], []
+        P = self.term_parts
+        for stem in acc:
+            dids, tfs, poss = acc[stem]
+            dids = np.asarray(dids, dtype=np.uint64)
+            tfs = np.asarray(tfs, dtype=np.float64)
+            order = np.argsort(dids, kind="stable")
+            dids = dids[order]
+            tfs = tfs[order]
+            tsalts = (dids >> shift).astype(np.int64)
+            kp = term_part(stem, P)
+            # split this term's fragment at salt-range boundaries
+            bounds = np.flatnonzero(np.diff(tsalts)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [dids.size]))
+            for lo, hi in zip(starts, ends):
+                s = int(tsalts[lo])
+                gkeys.append(s * P + kp)
+                salts.append(s)
+                terms.append(stem)
+                docs_b.append(dids[lo:hi].tobytes())
+                tfs_b.append(tfs[lo:hi].tobytes())
+                if self.with_positions:
+                    plists = [poss[j] for j in order[lo:hi]]
+                    npos_b.append(
+                        np.asarray([len(p) for p in plists], dtype=np.uint32).tobytes()
+                    )
+                    pos_b.append(
+                        np.concatenate(
+                            [np.asarray(p, dtype=np.uint32) for p in plists]
+                        ).tobytes()
+                        if plists
+                        else b""
+                    )
+                else:
+                    npos_b.append(b"")
+                    pos_b.append(b"")
+        return pa.Table.from_arrays(
+            [
+                pa.array(gkeys, pa.int64()),
+                pa.array(salts, pa.int32()),
+                pa.array(terms, pa.string()),
+                pa.array(docs_b, pa.large_binary()),
+                pa.array(tfs_b, pa.large_binary()),
+                pa.array(npos_b, pa.large_binary()),
+                pa.array(pos_b, pa.large_binary()),
+            ],
+            schema=FRAGMENT_SCHEMA,
+        )
