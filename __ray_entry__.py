@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship: derive transcripts from sf0.001 documents, build
+the inverted index (map_batches tokenize → salted groupby-on-term
+shuffle → delta+varint blocked segments), serve BM25 top-k over shard
+actors, return the ranked hits.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2
++ the training-data-pipeline extensions); each callable takes sf_dir.
+
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+entry (tokenization/stopwords/BM25 spelled out in SQL; Porter stemming
+and LSH-style ops are non-SQL-expressible → rows-only checks).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +21,193 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from themis_search_engine_ray.functions.analyzer import STOPWORDS
+from themis_search_engine_ray.pipelines import dedup, fulltext, multimodal, similarity
+from themis_search_engine_ray.pipelines import text_analysis as ta
+from themis_search_engine_ray.sources.transcripts import derive_sql_cte
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    sf_dir = "/root/testdata/sf0.001"
+    return fulltext.bm25_topk(sf_dir, k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # ---- fulltext engine (SURVEY §2) ----
+        "turns_passthrough": fulltext.turns_passthrough,
+        "doc_stats": fulltext.doc_stats,
+        "term_df_nostem": fulltext.term_df_nostem,
+        "term_df": fulltext.term_df,
+        "bm25_all_nostem": fulltext.bm25_all_nostem,
+        "bm25_topk": fulltext.bm25_topk,
+        # ---- dedup family ----
+        "dedup_exact": dedup.exact_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_pairs": dedup.minhash_pairs,
+        "simhash_pairs": dedup.simhash_pairs,
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        # ---- similarity search ----
+        "knn_brute": similarity.knn_brute,
+        "ivf_knn": similarity.ivf_knn,
+        # ---- text analysis ----
+        "token_counts": ta.token_counts,
+        "quality_scores": ta.quality_scores,
+        "lang_id": ta.lang_id,
+        "fingerprints": lambda sf: ta.fingerprints(sf).map_batches(
+            _fp_scalars, batch_format="pyarrow"
+        ),
+        # ---- multimodal (stub codecs, real plumbing) ----
+        "media_features": lambda sf: multimodal.media_features(sf).select_columns(
+            ["media_id", "media_type", "height", "width", "n_frames"]
+        ),
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _fp_scalars(batch):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pa.Table.from_arrays(
+        [
+            batch["doc_id"],
+            pc.cast(pc.list_value_length(batch["fingerprint"]), pa.int64()),
+            batch["sig64"],
+        ],
+        names=["doc_id", "n_fingerprints", "sig64"],
+    )
+
+
+# ---------------------------------------------------------------- SQL
+
+
+def _stoplist_sql() -> str:
+    return ", ".join("'" + w + "'" for w in sorted(STOPWORDS))
+
+
+_TURNS_CTE = f"turns AS ({derive_sql_cte()})"
+
+_TOKS_CTE = (
+    "toks AS (SELECT conv_id, turn_idx, unnest(list_filter(string_split_regex("
+    "lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '')) AS tok "
+    "FROM turns)"
+)
+
+
+def _counts_cte() -> str:
+    return (
+        f"counts AS (SELECT conv_id, turn_idx, tok, count(*) AS c FROM toks "
+        f"WHERE tok NOT IN ({_stoplist_sql()}) GROUP BY 1,2,3)"
+    )
+
+
+_DOCSTATS_CTE = (
+    "docstats AS (SELECT conv_id, turn_idx, sum(c) AS dl, max(c) AS maxc "
+    "FROM counts GROUP BY 1,2)"
+)
+
+
+def _queries_values() -> str:
+    return ", ".join(
+        f"({qid}, '{q}')" for qid, q in enumerate(fulltext.EVAL_QUERIES)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = _stoplist_sql()
+    return {
+        "turns_passthrough": f"WITH {_TURNS_CTE} SELECT conv_id, turn_idx, text FROM turns",
+        "doc_stats": (
+            f"WITH {_TURNS_CTE}, {_TOKS_CTE}, {_counts_cte()}, {_DOCSTATS_CTE} "
+            "SELECT t.conv_id, t.turn_idx, CAST(coalesce(d.dl, 0) AS INTEGER) AS dl "
+            "FROM turns t LEFT JOIN docstats d ON t.conv_id = d.conv_id AND t.turn_idx = d.turn_idx"
+        ),
+        "term_df_nostem": (
+            f"WITH {_TURNS_CTE}, {_TOKS_CTE} "
+            f"SELECT tok AS term, count(*) AS df FROM "
+            f"(SELECT DISTINCT conv_id, turn_idx, tok FROM toks WHERE tok NOT IN ({stop})) "
+            "GROUP BY tok"
+        ),
+        "bm25_all_nostem": (
+            f"WITH {_TURNS_CTE}, {_TOKS_CTE}, {_counts_cte()}, {_DOCSTATS_CTE}, "
+            "tfs AS (SELECT c.conv_id, c.turn_idx, c.tok, c.c * 1.0 / d.maxc AS tf, "
+            "        CAST(d.dl AS DOUBLE) AS dl FROM counts c JOIN docstats d "
+            "        ON c.conv_id = d.conv_id AND c.turn_idx = d.turn_idx), "
+            "dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tfs GROUP BY tok), "
+            "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM turns), "
+            "avg AS (SELECT (SELECT coalesce(sum(CAST(dl AS DOUBLE)), 0) FROM docstats) / (SELECT n FROM n) AS avgdl), "
+            f"qs(qid, qtext) AS (VALUES {_queries_values()}), "
+            "qtok AS (SELECT qid, unnest(list_filter(string_split_regex("
+            "lower(regexp_replace(qtext, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '')) AS tok FROM qs), "
+            f"qterms AS (SELECT DISTINCT qid, tok FROM qtok WHERE tok NOT IN ({stop})) "
+            "SELECT CAST(q.qid AS BIGINT) AS qid, t.conv_id, t.turn_idx, "
+            "round(sum((ln((n.n - d.df + 0.5) / (d.df + 0.5)) / ln(2)) * "
+            "(t.tf * 3.0) / (t.tf + 2.0 * (0.25 + 0.75 * (t.dl / avg.avgdl)))), 4) AS score "
+            "FROM qterms q JOIN tfs t ON t.tok = q.tok JOIN dfs d ON d.tok = q.tok, n, avg "
+            "GROUP BY 1, 2, 3"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, md5(text) AS text_hash "
+            "FROM documents GROUP BY text"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH raw AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x != '') AS ts FROM documents), "
+            "toksj AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS ord FROM raw), "
+            "tri AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh "
+            "FROM toksj a JOIN toksj b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1 "
+            "JOIN toksj c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2), "
+            "tset AS (SELECT DISTINCT doc_id, sh FROM tri), "
+            "sizes AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM tset GROUP BY doc_id), "
+            "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS DOUBLE) AS i "
+            "FROM tset x JOIN tset y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+            "SELECT a, b, round(i / (sa.n + sb.n - i), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b "
+            "WHERE i / (sa.n + sb.n - i) >= 0.5"
+        ),
+        "embedding_dup_pairs": (
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3"
+        ),
+        "knn_brute": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 10), "
+            "pairs AS (SELECT q.qid, e.vec_id, "
+            "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos "
+            "FROM q, embeddings e WHERE e.vec_id != q.qid) "
+            "SELECT qid, vec_id, round(cos, 6) AS cosine FROM pairs "
+            "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_ws_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_alnum_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens "
+            "FROM documents"
+        ),
+        "quality_scores": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ts, "
+            "length(text) AS nchars FROM documents), "
+            "base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, "
+            "CASE WHEN len(ts) = 0 THEN 0.0 ELSE "
+            f"round(CAST(len(list_filter(ts, x -> x IN ({stop}))) AS DOUBLE) / len(ts), 6) END AS stopword_ratio, "
+            "CASE WHEN len(ts) = 0 THEN 0.0 ELSE "
+            "round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) END AS unique_ratio, "
+            "CASE WHEN len(ts) = 0 THEN 0.0 ELSE "
+            "round(CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE) / len(ts), 6) END AS mean_token_len, "
+            "CASE WHEN nchars = 0 THEN 0.0 ELSE "
+            "round(CAST(coalesce(list_sum(list_transform(ts, x -> length(x))), 0) AS DOUBLE) / nchars, 6) END AS alnum_char_ratio "
+            "FROM toks) "
+            "SELECT doc_id, n_tokens, stopword_ratio, unique_ratio, mean_token_len, alnum_char_ratio, "
+            "round(greatest(0.0, least(1.0, "
+            "(1.0 - abs(stopword_ratio - 0.4)) * 0.3 + least(unique_ratio * 1.25, 1.0) * 0.4 + "
+            "(1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0)) * 0.3)), 6) AS quality_score "
+            "FROM base"
+        ),
+        # term_df / bm25_topk (Porter), minhash/simhash (LSH), lang_id,
+        # fingerprints, ivf_knn, media_features: non-SQL-expressible →
+        # rows-only checks; exactness is covered by pytest oracles.
+    }

@@ -1,0 +1,199 @@
+"""Tests for the training-data-pipeline operators (dedup, similarity,
+text analysis, multimodal) over the sf0.001 test tables."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _pairs_set(df):
+    return {(int(a), int(b)) for a, b in zip(df["a"], df["b"])}
+
+
+def _brute_jaccard_pairs(threshold=0.5, k=3):
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.dedup import _shingles
+
+    tab = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()))
+    sets = {d: _shingles(t, k) for d, t in docs}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa and not sb:
+                continue
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_ngram_jaccard_exact_vs_bruteforce():
+    from themis_search_engine_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(SF).to_pandas()
+    want = _brute_jaccard_pairs()
+    assert _pairs_set(got) == set(want)
+
+
+def test_minhash_lsh_recall_and_precision():
+    """All reported pairs must be true (verified) pairs; recall of the
+    LSH stage vs brute force should be high at j >= 0.5."""
+    from themis_search_engine_ray.pipelines.dedup import minhash_pairs
+
+    got = minhash_pairs(SF).to_pandas()
+    want = _brute_jaccard_pairs()
+    got_pairs = _pairs_set(got)
+    assert got_pairs <= set(want)  # verification guarantees precision 1.0
+    if want:
+        recall = len(got_pairs) / len(want)
+        assert recall >= 0.8, recall
+
+
+def test_simhash_determinism_and_symmetry():
+    from themis_search_engine_ray.pipelines.dedup import simhash64, simhash_pairs
+
+    s1 = simhash64("the quick brown fox")
+    assert s1 == simhash64("the quick brown fox")
+    assert s1 != simhash64("a completely different sentence here")
+    df = simhash_pairs(SF).to_pandas()
+    assert (df["hamming"] <= 3).all()
+    assert (df["a"] < df["b"]).all()
+
+
+def test_exact_dedup_counts():
+    from themis_search_engine_ray.pipelines.dedup import exact_dedup
+
+    df = exact_dedup(SF).to_pandas()
+    assert len(df) == 500  # all distinct in the test table
+    assert df["doc_id"].is_unique
+
+
+def test_knn_brute_self_consistency():
+    from themis_search_engine_ray.pipelines.similarity import knn_brute
+
+    df = knn_brute(SF, k=5, n_queries=5).to_pandas()
+    assert set(df["qid"]) == {0, 1, 2, 3, 4}
+    for q, grp in df.groupby("qid"):
+        assert len(grp) == 5
+        assert (grp["vec_id"] != q).all()
+        # verify against numpy brute force
+        import pyarrow.parquet as pq
+
+        tab = pq.read_table(f"{SF}/embeddings.parquet")
+        m = np.vstack([np.asarray(v, np.float64) for v in tab["embedding"].to_pylist()])
+        ids = tab["vec_id"].to_numpy()
+        n = m / np.linalg.norm(m, axis=1)[:, None]
+        qv = n[ids == q][0]
+        cos = n @ qv
+        cos[ids == q] = -2
+        top = ids[np.lexsort((ids, -cos))][:5]
+        assert sorted(grp["vec_id"]) == sorted(top.tolist())
+
+
+def test_ivf_recall():
+    from themis_search_engine_ray.pipelines.similarity import ivf_knn, knn_brute
+
+    brute = knn_brute(SF, k=5, n_queries=10).to_pandas()
+    ivf = ivf_knn(SF, k=5, n_queries=10, n_lists=8, nprobe=3).to_pandas()
+    b = {(q, v) for q, v in zip(brute["qid"], brute["vec_id"])}
+    a = {(q, v) for q, v in zip(ivf["qid"], ivf["vec_id"])}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, recall  # nprobe=3/8 lists
+
+
+def test_langid_multilingual_samples():
+    import pyarrow as pa
+
+    from themis_search_engine_ray.pipelines.text_analysis import LangIdBatcher
+
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "the cat is on the table and it is happy",
+                "der Hund ist nicht mit der Katze im Haus",
+                "le chat est dans la maison avec les enfants",
+                "el perro es un animal que vive en la casa",
+                "",
+                "zxqv wvut qqq",
+            ],
+        }
+    )
+    out = LangIdBatcher()(batch).to_pydict()
+    assert out["lang_pred"][:4] == ["en", "de", "fr", "es"]
+    assert out["lang_pred"][4] == "und"
+    assert out["lang_pred"][5] == "und"
+
+
+def test_fingerprint_properties():
+    import pyarrow as pa
+
+    from themis_search_engine_ray.pipelines.text_analysis import FingerprintBatcher
+
+    fb = FingerprintBatcher()
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch = pa.table({"doc_id": [1, 2, 3], "text": [t1, t1, "totally different words here now ok yes"]})
+    out = fb(batch).to_pydict()
+    assert out["fingerprint"][0] == out["fingerprint"][1]  # deterministic
+    assert out["sig64"][0] == out["sig64"][1]
+    assert out["fingerprint"][0] != out["fingerprint"][2]
+    # containment: a doc containing t1 plus suffix shares most fingerprints
+    batch2 = pa.table({"doc_id": [4], "text": [t1 + " lambda mu nu xi"]})
+    fp_sup = set(fb(batch2).to_pydict()["fingerprint"][0])
+    fp_sub = set(out["fingerprint"][0])
+    assert len(fp_sub & fp_sup) / len(fp_sub) >= 0.6
+
+
+def test_media_pipeline_plumbing():
+    from themis_search_engine_ray.pipelines.multimodal import MediaDecoder, media_features
+
+    df = media_features(SF).to_pandas()
+    assert len(df) == 500
+    assert set(df["media_type"]) == {"image", "audio", "video"}
+    assert (df["n_frames"][df["media_type"] == "image"] == 1).all()
+    assert df["feature"].map(len).eq(16).all()
+    # stub decoder raises cleanly
+    import pyarrow as pa
+
+    stub = MediaDecoder(decoder="stub")
+    with pytest.raises(NotImplementedError):
+        stub(
+            pa.table(
+                {
+                    "media_id": [1],
+                    "media_type": ["image"],
+                    "payload": [b"xx"],
+                    "n_bytes": [2],
+                    "checksum": ["x"],
+                }
+            )
+        )
+
+
+def test_quality_and_token_counts_basic():
+    import pyarrow as pa
+
+    from themis_search_engine_ray.pipelines.text_analysis import (
+        quality_batch,
+        token_counts_batch,
+    )
+
+    batch = pa.table({"doc_id": [1, 2], "text": ["Hello, world! 42", ""]})
+    tc = token_counts_batch(batch).to_pydict()
+    assert tc["n_ws_tokens"] == [3, 0]
+    assert tc["n_alnum_tokens"] == [3, 0]
+    assert tc["n_bpeish_tokens"] == [5, 0]  # hello , world ! 42
+    q = quality_batch(batch).to_pydict()
+    assert q["n_tokens"] == [3, 0]
+    assert q["quality_score"][1] == pytest.approx(0.0, abs=1e-9) or q["quality_score"][1] >= 0

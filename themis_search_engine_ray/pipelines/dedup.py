@@ -1,0 +1,376 @@
+"""Deduplication operators for training-data pipelines (Ray Data).
+
+Five dedup families over an (id, text) / embedding table, each built
+from shuffle-conscious primitives:
+
+* exact            — content-hash in ``map_batches`` (vectorized md5),
+                     then ``groupby(hash).aggregate(Min(id))``; the
+                     shuffle moves 16-byte hashes, never text.
+* n-gram Jaccard   — exact all-pairs similarity via a shingle inverted
+                     index: (shingle, doc) rows → groupby(shingle) →
+                     pair counts → jaccard filter. Exact but quadratic
+                     in bucket size — at 100 TB run it *after* MinHash
+                     LSH has cut candidates, never standalone.
+* MinHash + LSH    — shingle → 64-perm minhash signature (vectorized
+                     affine hashing) → banded buckets →
+                     groupby(band, bucket) candidate pairs → exact
+                     Jaccard verification. Linear shuffle volume
+                     (#docs × #bands fixed-width rows).
+* SimHash          — 64-bit weighted-majority signature; candidate
+                     blocking on 4×16-bit sub-bands (all pairs at
+                     hamming ≤ 3 share ≥1 exact sub-band by pigeonhole
+                     when ≤3 bands differ ... with 4 bands any pair at
+                     hamming ≤3 collides in ≥1 band), verify hamming.
+* embedding cosine — near-dup pairs with cosine ≥ τ via broadcast
+                     matrix product per batch (``ray.put`` once).
+
+Determinism: every pair output is (a < b); jaccard/cosine rounded to 6
+decimals for hash-comparable oracles; thresshold comparisons happen on
+the unrounded float64 value identically in engine and SQL oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.rounding import round_half_up
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+_MERSENNE = (1 << 61) - 1
+_N_PERM = 64
+_BANDS = 16
+_ROWS_PER_BAND = _N_PERM // _BANDS
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    toks = _WORD_RE.findall((text or "").lower())
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+
+def _minhash_params(seed: int = 7):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+_MH_A, _MH_B = _minhash_params()
+
+
+def minhash_signature(sh_hashes: np.ndarray) -> np.ndarray:
+    """64-perm minhash of a set of 64-bit shingle hashes (vectorized)."""
+    if sh_hashes.size == 0:
+        return np.full(_N_PERM, np.uint64(_MERSENNE), dtype=np.uint64)
+    x = sh_hashes.astype(np.uint64) % np.uint64(_MERSENNE)
+    # (P, m): (a*x + b) mod p, then min over shingles
+    vals = (_MH_A[:, None] * x[None, :] + _MH_B[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(sf_dir: str):
+    """Kept doc per distinct text (min doc_id) — (doc_id, text_hash)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(hs, pa.string())], names=["doc_id", "text_hash"]
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id", "text_hash"])
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
+    """Exact all-pairs word-k-gram Jaccard >= threshold.
+
+    (shingle, doc) inverted index → per-shingle pair emission →
+    pair-count aggregation → jaccard. Bucket-quadratic: see module
+    docstring for the 100 TB usage contract.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for sh in _shingles(t, k):
+                ids.append(did)
+                shs.append(sh)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(shs, pa.string())],
+            names=["doc_id", "sh"],
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    shingle_ds = ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    # sizes: |shingle set| per doc — small table, broadcast below
+    import ray
+
+    sizes_tab = shingle_ds.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
+    sizes_ref = ray.put(dict(zip(sizes_tab["doc_id"], sizes_tab["n"])))
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(np.asarray(group["doc_id"].to_pylist(), dtype=np.int64))
+        if ids.size < 2:
+            return pa.Table.from_pydict({"a": [], "b": []}).cast(
+                pa.schema([("a", pa.int64()), ("b", pa.int64())])
+            )
+        ai, bi = np.triu_indices(ids.size, k=1)
+        return pa.Table.from_pydict({"a": ids[ai], "b": ids[bi]})
+
+    pair_counts = (
+        shingle_ds.groupby("sh")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="inter"))
+    )
+
+    def jaccard_filter(batch: pa.Table) -> pa.Table:
+        sizes = ray.get(sizes_ref)
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        inter = batch["inter"].to_numpy().astype(np.float64)
+        na = np.array([sizes[x] for x in a], dtype=np.float64)
+        nb = np.array([sizes[x] for x in b], dtype=np.float64)
+        jac = inter / (na + nb - inter)
+        keep = jac >= threshold
+        return pa.Table.from_pydict(
+            {
+                "a": a[keep],
+                "b": b[keep],
+                "jaccard": round_half_up(jac[keep], 6),
+            }
+        )
+
+    return pair_counts.map_batches(jaccard_filter, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- MinHash LSH
+
+
+def minhash_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
+    """MinHash(64) + LSH(16 bands × 4 rows) candidates, exact-Jaccard
+    verified (shingle sets re-derived for candidates via broadcast dict;
+    at larger-than-memory doc counts swap the broadcast for a bucketed
+    join on doc_id — see module docstring)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        dids, bands, buckets = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = np.array([_hash64(s) for s in _shingles(t, k)], dtype=np.uint64)
+            sig = minhash_signature(sh)
+            for bi in range(_BANDS):
+                chunk = sig[bi * _ROWS_PER_BAND : (bi + 1) * _ROWS_PER_BAND]
+                bucket = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
+                )
+                dids.append(did)
+                bands.append(bi)
+                buckets.append(bucket - (1 << 63))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "bucket": pa.array(buckets, pa.int64()),
+            }
+        )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(np.unique(np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)))
+        if ids.size < 2:
+            return pa.Table.from_pydict({"a": [], "b": []}).cast(
+                pa.schema([("a", pa.int64()), ("b", pa.int64())])
+            )
+        ai, bi = np.triu_indices(ids.size, k=1)
+        return pa.Table.from_pydict({"a": ids[ai], "b": ids[bi]})
+
+    candidates = (
+        ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bucket"])
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()  # dedupe candidate pairs across bands
+    )
+
+    # broadcast shingle sets for exact verification
+    shingle_map = {}
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            shingle_map[did] = _shingles(t, k)
+    sh_ref = ray.put(shingle_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        smap = ray.get(sh_ref)
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        keep_a, keep_b, jacs = [], [], []
+        for x, y in zip(a, b):
+            sx, sy = smap[x], smap[y]
+            if not sx and not sy:
+                continue
+            inter = len(sx & sy)
+            jac = inter / (len(sx) + len(sy) - inter)
+            if jac >= threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                jacs.append(round_half_up(jac, 6))
+        return pa.Table.from_pydict(
+            {
+                "a": pa.array(keep_a, pa.int64()),
+                "b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(jacs, pa.float64()),
+            }
+        )
+
+    return candidates.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- SimHash
+
+
+def simhash64(text: str) -> int:
+    toks = _WORD_RE.findall((text or "").lower())
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    from collections import Counter
+
+    for tok, cnt in Counter(toks).items():
+        h = _hash64(tok)
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += (bits.astype(np.int64) * 2 - 1) * cnt
+    sig = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            sig |= np.uint64(1) << np.uint64(i)
+    return int(sig)
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    """Near-dup pairs at hamming distance <= 3 over 64-bit simhash.
+    Blocking: 4×16-bit sub-bands (pigeonhole-complete for hd<=3),
+    verified exactly."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        dids, bands, buckets, sigs = [], [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            s = simhash64(t)
+            s_i64 = s - (1 << 64) if s >= (1 << 63) else s  # bit-preserving int64
+            for bi in range(4):
+                dids.append(did)
+                bands.append(bi)
+                buckets.append((s >> (16 * bi)) & 0xFFFF)
+                sigs.append(s_i64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "sig": pa.array(sigs, pa.int64()),
+            }
+        )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+        sigs = np.asarray(group["sig"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        uniq, first = np.unique(ids, return_index=True)
+        sigs = sigs[first]
+        if uniq.size < 2:
+            return pa.Table.from_pydict({"a": [], "b": [], "hamming": []}).cast(
+                pa.schema([("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int32())])
+            )
+        ai, bi = np.triu_indices(uniq.size, k=1)
+        x = (sigs[ai] ^ sigs[bi]).view(np.uint64)  # XOR is sign-agnostic
+        hd = np.zeros(x.size, dtype=np.int32)
+        while x.any():
+            hd += (x & np.uint64(1)).astype(np.int32)
+            x = x >> np.uint64(1)
+        keep = hd <= max_hamming
+        return pa.Table.from_pydict(
+            {"a": uniq[ai][keep], "b": uniq[bi][keep], "hamming": hd[keep]}
+        )
+
+    pairs = (
+        ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bucket"])
+        .map_groups(emit_pairs, batch_format="pyarrow")
+    )
+    # dedupe pairs found in multiple bands
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# --------------------------------------------------- embedding cosine
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.3):
+    """Near-dup pairs by embedding cosine >= threshold (broadcast matrix,
+    per-batch float64 matmul; (a < b) canonical order)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids_all = tab["vec_id"].to_numpy()
+    mat = np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()]
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids_all, mat, norms))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all_, mat_, norms_ = ray.get(ref)
+        bids = batch["vec_id"].to_numpy()
+        bmat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+        )
+        bnorm = np.linalg.norm(bmat, axis=1)
+        bnorm[bnorm == 0] = 1.0
+        cos = (bmat @ mat_.T) / bnorm[:, None] / norms_[None, :]
+        ai, bi = np.nonzero(cos >= threshold)
+        keep = bids[ai] < ids_all_[bi]  # canonical, drops self-pairs
+        return pa.Table.from_pydict(
+            {
+                "a": bids[ai][keep],
+                "b": ids_all_[bi][keep],
+                "cosine": round_half_up(cos[ai, bi][keep], 6),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)

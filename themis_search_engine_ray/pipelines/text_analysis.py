@@ -1,0 +1,242 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All stages are vectorized ``map_batches`` transforms over the
+``documents`` table (or any (id, text) table):
+
+* token/char counts (whitespace + alnum-regex "BPE-ish" tokenizations),
+* quality scoring (length / punctuation / stopword / repetition ratios),
+* language identification (stopword-profile n-gram-free heuristic over a
+  small built-in profile set — en/de/fr/es/it; actor-pool stage so the
+  profiles are built once per actor),
+* document fingerprinting (winnowing over rolling Karp-Rabin hashes).
+
+Scale notes: every stage is embarrassingly parallel (no shuffle); the
+only state (language profiles, compiled regexes) lives in actor
+``__init__``. Ratios are rounded to 6 decimals so DuckDB oracles can
+hash-compare values.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.analyzer import STOPWORDS
+from ..functions.rounding import round_half_up
+
+_WS_RE = re.compile(r"\s+")
+_ALNUM_RE = re.compile(r"[A-Za-z0-9]+")
+# a BPE-ish pretokenizer: words, numbers, or single non-space symbols
+_BPEISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def token_counts_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_chars, n_ws_tokens, n_alnum_tokens, n_bpeish_tokens)."""
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    n_ws = np.empty(n, np.int64)
+    n_al = np.empty(n, np.int64)
+    n_bp = np.empty(n, np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_ws[i] = len(t.split())
+        n_al[i] = len(_ALNUM_RE.findall(t))
+        n_bp[i] = len(_BPEISH_RE.findall(t))
+    return pa.Table.from_arrays(
+        [
+            batch["doc_id"],
+            pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            pa.array(n_ws),
+            pa.array(n_al),
+            pa.array(n_bp),
+        ],
+        names=["doc_id", "n_chars", "n_ws_tokens", "n_alnum_tokens", "n_bpeish_tokens"],
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality heuristics per doc, all ratios rounded to 6 decimals:
+    stopword_ratio, unique_ratio (distinct/total tokens), mean_token_len,
+    alnum_char_ratio, plus a composite quality_score in [0,1]."""
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    cols = {
+        "n_tokens": np.zeros(n, np.int64),
+        "stopword_ratio": np.zeros(n, np.float64),
+        "unique_ratio": np.zeros(n, np.float64),
+        "mean_token_len": np.zeros(n, np.float64),
+        "alnum_char_ratio": np.zeros(n, np.float64),
+        "quality_score": np.zeros(n, np.float64),
+    }
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = [w.lower() for w in _ALNUM_RE.findall(t)]
+        nt = len(toks)
+        cols["n_tokens"][i] = nt
+        nchars = len(t)
+        alnum_chars = sum(len(w) for w in toks)
+        if nt:
+            stop = sum(1 for w in toks if w in STOPWORDS)
+            cols["stopword_ratio"][i] = round_half_up(stop / nt, 6)
+            cols["unique_ratio"][i] = round_half_up(len(set(toks)) / nt, 6)
+            cols["mean_token_len"][i] = round_half_up(alnum_chars / nt, 6)
+        if nchars:
+            cols["alnum_char_ratio"][i] = round_half_up(alnum_chars / nchars, 6)
+        # composite: favor mid stopword ratio, diversity, sane token length
+        sw, uq, ml = cols["stopword_ratio"][i], cols["unique_ratio"][i], cols["mean_token_len"][i]
+        score = (
+            (1.0 - abs(sw - 0.4)) * 0.3
+            + min(uq * 1.25, 1.0) * 0.4
+            + (1.0 - min(abs(ml - 5.0) / 5.0, 1.0)) * 0.3
+        )
+        cols["quality_score"][i] = round_half_up(max(0.0, min(1.0, score)), 6)
+    arrays = [batch["doc_id"]] + [pa.array(v) for v in cols.values()]
+    return pa.Table.from_arrays(arrays, names=["doc_id"] + list(cols))
+
+
+_LANG_PROFILES = {
+    "en": "the of and to in is was for that it on as with by at he she this are be have not",
+    "de": "der die das und ist von zu den mit nicht ein eine im auf für sich des dem war er",
+    "fr": "le la les des et de un une est dans que pour qui sur pas au avec il elle ne ce",
+    "es": "el la los las de y que en un una es por con no para su al lo como más se",
+    "it": "il la le di e che un una è per in non con del si da sono come più anche",
+}
+
+
+class LangIdBatcher:
+    """Actor-pool language-ID stage: profile sets built once per actor.
+
+    Heuristic: argmax over per-language weighted stopword-hit rate; falls
+    back to 'und' (undetermined) when no profile word is seen.
+    """
+
+    def __init__(self):
+        self.profiles = {
+            lang: frozenset(words.split()) for lang, words in _LANG_PROFILES.items()
+        }
+        self.word_re = re.compile(r"[a-zA-ZäöüßéèêàçñáíóúìòùÄÖÜ]+")
+        self.order = sorted(self.profiles)  # deterministic tie-break
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        preds = []
+        confs = []
+        for t in texts:
+            toks = [w.lower() for w in self.word_re.findall(t or "")]
+            if not toks:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            best_lang, best = "und", 0.0
+            for lang in self.order:
+                prof = self.profiles[lang]
+                hits = sum(1 for w in toks if w in prof)
+                rate = hits / len(toks)
+                if rate > best:
+                    best_lang, best = lang, rate
+            preds.append(best_lang if best > 0.02 else "und")
+            confs.append(round_half_up(best, 6))
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(preds, pa.string()), pa.array(confs)],
+            names=["doc_id", "lang_pred", "lang_conf"],
+        )
+
+
+def _karp_rabin(tokens: list[str], k: int) -> np.ndarray:
+    """Rolling 64-bit hashes of k-grams of tokens (vectorized-ish)."""
+    if len(tokens) < k:
+        return np.empty(0, np.uint64)
+    hs = np.array(
+        [hash_token(t) for t in tokens], dtype=np.uint64
+    )
+    n = len(tokens) - k + 1
+    out = np.zeros(n, dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        for j in range(k):
+            out = out * B + hs[j : j + n]
+    return out
+
+
+def hash_token(t: str) -> int:
+    # FNV-1a, mod 2^64
+    h = 14695981039346656037
+    for ch in t.encode():
+        h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+class FingerprintBatcher:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    k-gram rolling hashes, window-min selection, hashed to a compact
+    signature set. Emits (doc_id, fingerprint: list<uint64>, sig64)."""
+
+    def __init__(self, k: int = 4, window: int = 5):
+        self.k = k
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        texts = batch["text"].to_pylist()
+        fps = []
+        sig64 = np.zeros(len(texts), dtype=np.int64)
+        word_re = _re.compile(r"[a-z0-9]+")
+        for i, t in enumerate(texts):
+            toks = word_re.findall((t or "").lower())
+            hs = _karp_rabin(toks, self.k)
+            if hs.size == 0:
+                fps.append([])
+                continue
+            w = min(self.window, hs.size)
+            # window minima (winnowing): min over each sliding window
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            mins = sliding_window_view(hs, w).min(axis=1)
+            sel = np.unique(mins)
+            fps.append(sel.astype(np.int64).tolist())
+            acc = np.uint64(0)
+            for v in sel:
+                acc ^= np.uint64(v)
+            sig64[i] = np.int64(acc.astype(np.int64))
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(fps, pa.list_(pa.int64())), pa.array(sig64)],
+            names=["doc_id", "fingerprint", "sig64"],
+        )
+
+
+def token_counts(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        token_counts_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def quality_scores(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def lang_id(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        LangIdBatcher, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=2, batch_size=2048,
+    )
+
+
+def fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        FingerprintBatcher, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=2, batch_size=2048,
+    )
