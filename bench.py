@@ -1,0 +1,226 @@
+"""Bench harness (driver contract).
+
+Headline pipelines over a deterministic synthetic transcript corpus
+scaled off $GRAFT_SF_DIR's scale factor, plus the sf_dir data-pipeline
+operators. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-component sec...}, "sf": <sf>, "num_cpus": N,
+   "turns": n, "build_turns_per_sec": r, "query_p50_ms": ..., "query_p99_ms": ...}
+
+Modes:
+  python bench.py               one measured run (RAY_GRAFT_CPUS cpus)
+  python bench.py --scaling     fresh subprocesses at 8 and 32 cpus on
+                                the same input; prints both + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(os.path.normpath(d))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+def _corpus_dir(n_turns: int, seed: int) -> str:
+    return f"/tmp/themis_bench_corpus_{n_turns}_{seed}"
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    n_turns = int(os.environ.get("RAY_GRAFT_TURNS", str(max(20_000, int(1_200_000 * sf)))))
+    seed = 42
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from themis_search_engine_ray.pipelines.dedup import minhash_pairs_ds
+    from themis_search_engine_ray.pipelines.index_build import BuildConfig, build_index
+    from themis_search_engine_ray.sources.transcripts import (
+        synthetic_dataset,
+        write_synthetic,
+    )
+    from themis_search_engine_ray.state.searcher import SearchEngine
+
+    timings: dict[str, float] = {}
+
+    # corpus: generated once per (n_turns, seed), reused across runs; warm
+    # the page cache with one untimed read so we measure compute + shuffle
+    corpus = _corpus_dir(n_turns, seed)
+    if not (os.path.isdir(corpus) and os.listdir(corpus)):
+        tmp = corpus + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_synthetic(tmp, n_turns=n_turns, seed=seed, turns_per_block=8192)
+        os.replace(tmp, corpus)
+    import ray.data as rd
+
+    rd.read_parquet(corpus).count()  # warm cache (untimed)
+
+    # --- index build ---
+    idx_dir = f"/tmp/themis_bench_idx_{os.getpid()}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = BuildConfig(salt_bits=3, term_parts=8, num_partitions=4, batch_size=2048)
+    t0 = time.time()
+    meta = build_index(corpus, idx_dir, cfg)
+    timings["index_build"] = time.time() - t0
+    build_rate = n_turns / timings["index_build"]
+
+    # --- query serving latency ---
+    from themis_search_engine_ray.sources.transcripts import _vocab
+
+    vocab = [w for w in _vocab() if w.isascii() and w.isalpha()]
+    queries = []
+    for i in range(100):
+        queries.append(" ".join(vocab[(i * 37 + j * 101) % len(vocab)] for j in range(3)))
+    t0 = time.time()
+    eng = SearchEngine(idx_dir)
+    timings["engine_load"] = time.time() - t0
+    lat = []
+    t0 = time.time()
+    for q in queries:
+        tq = time.time()
+        eng.search(q, k=10)
+        lat.append(time.time() - tq)
+    timings["queries_100"] = time.time() - t0
+    eng.close()
+    lat.sort()
+    p50 = lat[len(lat) // 2] * 1000
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1000
+
+    # --- scaled dedup (MinHash LSH with distributed join verify) ---
+    def as_docs(n_limit: int):
+        import pyarrow as pa
+
+        from themis_search_engine_ray.stages.tokenize import doc_keys_batch
+
+        def to_doc(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = doc_keys_batch(
+                batch["conv_id"].to_pylist(), batch["turn_idx"].to_pylist()
+            ).astype(np.int64)
+            return pa.Table.from_arrays([pa.array(ids), batch["text"]], names=["doc_id", "text"])
+
+        return (
+            rd.read_parquet(corpus, columns=["conv_id", "turn_idx", "text"])
+            .limit(n_limit)
+            .map_batches(to_doc, batch_format="pyarrow", zero_copy_batch=True)
+        )
+
+    t0 = time.time()
+    n_pairs = minhash_pairs_ds(as_docs(min(n_turns, 30_000)), verify="join").count()
+    timings["minhash_dedup_30k"] = time.time() - t0
+
+    # --- term_df groupby at full corpus scale (the non-index shuffle op) ---
+    from ray.data.aggregate import Sum
+
+    from themis_search_engine_ray.stages.tokenize import FragmentBatcher
+
+    t0 = time.time()
+    frag = rd.read_parquet(corpus, columns=["conv_id", "turn_idx", "text"]).map_batches(
+        FragmentBatcher(term_parts=8, with_positions=False),
+        batch_format="pyarrow",
+        batch_size=2048,
+        zero_copy_batch=True,
+    )
+    import pyarrow as pa
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ndocs = [len(v) // 8 for v in batch["docs"].to_pylist()]
+        return pa.Table.from_arrays(
+            [batch["term"], pa.array(np.asarray(ndocs, np.int64))], names=["term", "df"]
+        )
+
+    n_terms = (
+        frag.map_batches(df_rows, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .count()
+    )
+    timings["term_df_full"] = time.time() - t0
+
+    total = sum(timings.values())
+    result = {
+        "metric": "themis-ray headline: index build + BM25 serving + dedup + term_df",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "turns": n_turns,
+        "n_docs": meta["n_docs"],
+        "n_postings": meta["n_postings"],
+        "build_turns_per_sec": round(build_rate, 1),
+        "query_p50_ms": round(p50, 2),
+        "query_p99_ms": round(p99, 2),
+        "minhash_pairs": int(n_pairs),
+        "distinct_terms": int(n_terms),
+    }
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling N->4N cpus (sandbox stand-in for N->4N nodes)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "build_turns_per_sec_lo": r_lo["build_turns_per_sec"],
+        "build_turns_per_sec_hi": r_hi["build_turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_lo": r_lo["queries"],
+        "queries_hi": r_hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

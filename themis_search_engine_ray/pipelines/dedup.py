@@ -172,14 +172,35 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
 
 
 def minhash_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
-    """MinHash(64) + LSH(16 bands × 4 rows) candidates, exact-Jaccard
-    verified (shingle sets re-derived for candidates via broadcast dict;
-    at larger-than-memory doc counts swap the broadcast for a bucketed
-    join on doc_id — see module docstring)."""
-    import ray
+    """MinHash LSH over the sf_dir documents table (broadcast verify —
+    right-sized for the small test tables)."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_pairs_ds(ds, threshold=threshold, k=k, verify="broadcast")
+
+
+def minhash_pairs_ds(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    verify: str = "join",
+):
+    """MinHash(64) + LSH(16 bands × 4 rows) candidates, exact-Jaccard
+    verified.
+
+    ``verify="join"`` (the scale path) attaches each candidate pair's
+    shingle sets via two hash-partitioned ``Dataset.join``s — no
+    driver-side state, shuffle volume = candidates + shingle lists.
+    ``verify="broadcast"`` ships a doc→shingles dict via ``ray.put``
+    (small corpora only).
+    """
+    import ray
+
+    if id_col != "doc_id" or text_col != "text":
+        ds = ds.select_columns([id_col, text_col]).rename_columns(["doc_id", "text"])
 
     def band_rows(batch: pa.Table) -> pa.Table:
         dids, bands, buckets = [], [], []
@@ -219,20 +240,9 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
         .count()  # dedupe candidate pairs across bands
     )
 
-    # broadcast shingle sets for exact verification
-    shingle_map = {}
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            shingle_map[did] = _shingles(t, k)
-    sh_ref = ray.put(shingle_map)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        smap = ray.get(sh_ref)
-        a = batch["a"].to_numpy()
-        b = batch["b"].to_numpy()
+    def _jaccard_rows(a, b, sets_a, sets_b):
         keep_a, keep_b, jacs = [], [], []
-        for x, y in zip(a, b):
-            sx, sy = smap[x], smap[y]
+        for x, y, sx, sy in zip(a, b, sets_a, sets_b):
             if not sx and not sy:
                 continue
             inter = len(sx & sy)
@@ -249,7 +259,55 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
             }
         )
 
-    return candidates.map_batches(verify, batch_format="pyarrow")
+    if verify == "broadcast":
+        shingle_map = {}
+        for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                shingle_map[did] = _shingles(t, k)
+        sh_ref = ray.put(shingle_map)
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            smap = ray.get(sh_ref)
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            return _jaccard_rows(a, b, [smap[x] for x in a], [smap[y] for y in b])
+
+        return candidates.map_batches(verify_broadcast, batch_format="pyarrow")
+
+    # distributed verify: hash-partitioned joins attach both shingle sets
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        # packed as \x1f-delimited strings: Arrow's hash join does not
+        # support list payload columns
+        ids = batch["doc_id"].to_pylist()
+        sets = ["\x1f".join(sorted(_shingles(t, k))) for t in batch["text"].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sh_set": pa.array(sets, pa.string()),
+            }
+        )
+
+    sets_ds = ds.map_batches(shingle_sets, batch_format="pyarrow", zero_copy_batch=True)
+    nparts = 16
+    joined = candidates.join(
+        sets_ds, "inner", nparts, on=("a",), right_on=("doc_id",)
+    ).rename_columns({"sh_set": "sh_a"})
+    joined = joined.join(
+        sets_ds, "inner", nparts, on=("b",), right_on=("doc_id",)
+    ).rename_columns({"sh_set": "sh_b"})
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        def unpack(s):
+            return set(s.split("\x1f")) if s else set()
+
+        return _jaccard_rows(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            [unpack(s) for s in batch["sh_a"].to_pylist()],
+            [unpack(s) for s in batch["sh_b"].to_pylist()],
+        )
+
+    return joined.map_batches(verify_joined, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- SimHash
