@@ -38,7 +38,13 @@ from ..functions.analyzer import AnalyzerConfig, analyze_query
 from ..functions.bm25 import idf as bm25_idf
 from ..functions.bm25 import term_score
 from ..pipelines.index_build import load_meta
-from ..stages.codec import all_tfs, decode_all_docs, skips_from_bytes
+from ..stages.codec import (
+    all_tfs,
+    decode_all_docs,
+    decode_doc_block,
+    decode_tf_block,
+    skips_from_bytes,
+)
 
 
 @dataclass
@@ -109,6 +115,11 @@ class ShardIndex:
             self.dl = np.empty(0, np.float64)
             self.conv = np.empty(0, dtype="U1")
             self.turn = np.empty(0, np.int32)
+        # tightest safe dl for per-term/block score upper bounds (BM25
+        # contribution is decreasing in dl, increasing in tf)
+        self.dl_min = float(self.dl.min()) if self.dl.size else 0.0
+        # stats of the last pruned query (observability + tests)
+        self.last_prune_stats: dict = {}
 
     def df_local(self, term: str) -> int:
         return sum(
@@ -122,21 +133,49 @@ class ShardIndex:
         tfs = all_tfs(tab["tfs"][row].as_buffer())
         return ids, tfs
 
-    def score_topk(self, terms: list[str], idfs: list[float], k: int):
-        """Exact shard-local top-k. ``terms`` must be ascending (the
-        canonical accumulation order shared with the oracle)."""
-        id_chunks, sc_chunks = [], []
-        for term, t_idf in zip(terms, idfs):
-            for ti, row in self.runs.get(term, ()):
-                ids, tfs = self._decode_run(ti, row)
-                if ids.size == 0:
-                    continue
-                pos = np.searchsorted(self.doc_ids, ids)
-                dl = self.dl[pos]
-                sc_chunks.append(term_score(tfs, dl, self.avgdl, t_idf))
-                id_chunks.append(ids)
-        if not id_chunks:
-            return [], [], []
+    def _eval_run(self, ti: int, row: int, t_idf: float):
+        """Fully decode one posting run and compute its contributions."""
+        ids, tfs = self._decode_run(ti, row)
+        if ids.size == 0:
+            return None
+        pos = np.searchsorted(self.doc_ids, ids)
+        return ids, term_score(tfs, self.dl[pos], self.avgdl, t_idf)
+
+    def _probe_run(self, ti: int, row: int, t_idf: float, cands: np.ndarray):
+        """Block-max probe: decode ONLY the blocks that may contain a
+        candidate doc (skip-entry binary search), return contributions
+        for the candidates present. ``cands`` must be sorted+unique."""
+        tab = self.tables[ti]
+        skips = skips_from_bytes(tab["skips"][row].as_buffer())
+        if skips.size == 0 or cands.size == 0:
+            return None, 0, int(skips.size)
+        last = skips["last_doc"]
+        bi = np.searchsorted(last, cands)  # block that could hold each cand
+        need = np.unique(bi[bi < last.size])
+        if need.size == 0:
+            return None, 0, int(skips.size)
+        doc_blob = tab["docs"][row].as_buffer()
+        tf_blob = tab["tfs"][row].as_buffer()
+        ids_out, tf_out = [], []
+        for b in need:
+            b = int(b)
+            ids_b = decode_doc_block(doc_blob, skips, b)
+            hit = np.isin(ids_b, cands, assume_unique=True)
+            if hit.any():
+                ids_out.append(ids_b[hit])
+                tf_out.append(decode_tf_block(tf_blob, skips, b)[hit])
+        if not ids_out:
+            return None, int(need.size), int(skips.size)
+        ids = np.concatenate(ids_out)
+        tfs = np.concatenate(tf_out)
+        pos = np.searchsorted(self.doc_ids, ids)
+        contrib = term_score(tfs, self.dl[pos], self.avgdl, t_idf)
+        return (ids, contrib), int(need.size), int(skips.size)
+
+    def _rank(self, id_chunks, sc_chunks, k: int):
+        """Accumulate per-term contribution chunks (already in ascending
+        term order — the oracle's accumulation order) and return the
+        top-k with the deterministic tie-break."""
         cand = np.concatenate(id_chunks)
         contrib = np.concatenate(sc_chunks)
         uniq, inv = np.unique(cand, return_inverse=True)
@@ -148,6 +187,133 @@ class ShardIndex:
         order = np.lexsort((turn, conv, -acc))[: min(k, acc.size)]
         return conv[order].tolist(), turn[order].tolist(), acc[order].tolist()
 
+    def _run_max_tf(self, ti: int, row: int) -> float:
+        skips = skips_from_bytes(self.tables[ti]["skips"][row].as_buffer())
+        return float(skips["max_tf"].max()) if skips.size else 0.0
+
+    def score_topk(self, terms: list[str], idfs: list[float], k: int, prune: bool = True):
+        """Exact shard-local top-k. ``terms`` must be ascending (the
+        canonical accumulation order shared with the oracle).
+
+        With ``prune=True`` (default) a MaxScore/block-max pass skips
+        posting runs and blocks that provably cannot reach the top-k:
+        term upper bounds come from the per-block ``max_tf`` stored in
+        the skip entries and the shard's minimum dl; terms whose
+        ascending upper-bound prefix sum stays below the phase-1
+        threshold are only *probed* at candidate docs (binary search on
+        skip entries → decode just those blocks). Safe: prunes only,
+        never changes the reported docIDs or scores; falls back to full
+        evaluation when any idf ≤ 0 (negative-idf contributions break
+        the monotone lower-bound argument) or when fewer than k docs
+        match the top-impact term.
+        """
+        run_lists = [self.runs.get(t, ()) for t in terms]
+        n_terms = len(terms)
+        self.last_prune_stats = {}
+        if (
+            not prune
+            or k <= 0
+            or n_terms < 2
+            or self.doc_ids.size == 0
+            or any(i <= 0.0 for i in idfs)
+        ):
+            return self._score_full(run_lists, idfs, k)
+
+        # term-level upper bounds from block maxima
+        ubs = np.zeros(n_terms, dtype=np.float64)
+        for t, (runs, t_idf) in enumerate(zip(run_lists, idfs)):
+            mx = max((self._run_max_tf(ti, row) for ti, row in runs), default=0.0)
+            if mx > 0.0:
+                ubs[t] = term_score(mx, self.dl_min, self.avgdl, t_idf)
+
+        # phase 1: fully evaluate the highest-impact term → threshold θ
+        top_t = int(np.argmax(ubs))
+        evaluated: dict[int, list] = {t: [] for t in range(n_terms)}
+        for ti, row in run_lists[top_t]:
+            r = self._eval_run(ti, row, idfs[top_t])
+            if r is not None:
+                evaluated[top_t].append(r)
+        if not evaluated[top_t]:
+            return self._score_full(run_lists, idfs, k)
+        # a doc appears in exactly one run of a term (doc-range partitioned)
+        sc0 = np.concatenate([c for _, c in evaluated[top_t]])
+        if sc0.size < k:
+            # can't establish a threshold covering k docs → no safe pruning
+            return self._score_full(run_lists, idfs, k, pre=evaluated)
+        theta = float(np.partition(sc0, sc0.size - k)[sc0.size - k])
+
+        # essential / non-essential split (ascending-ub prefix sums);
+        # strict margin keeps the bound provably safe under fp rounding
+        asc = np.argsort(ubs, kind="stable")
+        cum = np.cumsum(ubs[asc])
+        margin = 1e-9 * abs(theta) + 1e-12
+        non_ess = {int(t) for i, t in enumerate(asc) if cum[i] < theta - margin}
+        non_ess.discard(top_t)
+        essential = [t for t in range(n_terms) if t not in non_ess]
+        if not non_ess:
+            return self._score_full(run_lists, idfs, k, pre=evaluated)
+
+        for t in essential:
+            if t == top_t:
+                continue
+            for ti, row in run_lists[t]:
+                r = self._eval_run(ti, row, idfs[t])
+                if r is not None:
+                    evaluated[t].append(r)
+
+        ess_ids = [i for t in essential for i, _ in evaluated[t]]
+        ess_sc = [c for t in essential for _, c in evaluated[t]]
+        cands = np.unique(np.concatenate(ess_ids))
+        # refine: drop candidates whose essential score + Σ non-essential
+        # upper bounds can't reach θ (ε-padded for fp safety)
+        acc = np.zeros(cands.size, dtype=np.float64)
+        for i, c in zip(ess_ids, ess_sc):
+            np.add.at(acc, np.searchsorted(cands, i), c)
+        r_ne = float(sum(ubs[t] for t in non_ess))
+        cands = cands[acc + r_ne >= theta - margin]
+
+        probed_blocks = total_blocks = 0
+        for t in sorted(non_ess):
+            for ti, row in run_lists[t]:
+                r, nprobe, ntotal = self._probe_run(ti, row, idfs[t], cands)
+                probed_blocks += nprobe
+                total_blocks += ntotal
+                if r is not None:
+                    evaluated[t].append(r)
+
+        self.last_prune_stats = {
+            "pruned": True,
+            "theta": theta,
+            "essential_terms": len(essential),
+            "non_essential_terms": len(non_ess),
+            "candidates": int(cands.size),
+            "probed_blocks": probed_blocks,
+            "non_essential_blocks_total": total_blocks,
+        }
+        id_chunks = [i for t in range(n_terms) for i, _ in evaluated[t]]
+        sc_chunks = [c for t in range(n_terms) for _, c in evaluated[t]]
+        if not id_chunks:
+            return [], [], []
+        return self._rank(id_chunks, sc_chunks, k)
+
+    def _score_full(self, run_lists, idfs, k, pre: dict | None = None):
+        """Full OR evaluation (every run decoded) — the no-prune path."""
+        id_chunks, sc_chunks = [], []
+        for t, (runs, t_idf) in enumerate(zip(run_lists, idfs)):
+            if pre and pre.get(t):
+                for ids, contrib in pre[t]:
+                    id_chunks.append(ids)
+                    sc_chunks.append(contrib)
+                continue
+            for ti, row in runs:
+                r = self._eval_run(ti, row, t_idf)
+                if r is not None:
+                    id_chunks.append(r[0])
+                    sc_chunks.append(r[1])
+        if not id_chunks:
+            return [], [], []
+        return self._rank(id_chunks, sc_chunks, k)
+
 
 class ShardSearcher:
     """Ray actor holding one or more shards (created via .remote)."""
@@ -155,8 +321,8 @@ class ShardSearcher:
     def __init__(self, index_dir: str, salts: list[int]):
         self.shard = ShardIndex(index_dir, salts)
 
-    def score_topk(self, terms, idfs, k):
-        return self.shard.score_topk(terms, idfs, k)
+    def score_topk(self, terms, idfs, k, prune: bool = True):
+        return self.shard.score_topk(terms, idfs, k, prune=prune)
 
     def ready(self) -> bool:
         return True
@@ -191,7 +357,7 @@ class SearchEngine:
         ]
         ray.get([a.ready.remote() for a in self.actors])
 
-    def search(self, query: str, k: int = 10) -> list[Hit]:
+    def search(self, query: str, k: int = 10, prune: bool = True) -> list[Hit]:
         import ray
 
         terms_all = analyze_query(query, self.analyzer_cfg)
@@ -203,7 +369,9 @@ class SearchEngine:
                 idfs.append(bm25_idf(float(self.n_docs), df))
         if not terms:
             return []
-        parts = ray.get([a.score_topk.remote(terms, idfs, k) for a in self.actors])
+        parts = ray.get(
+            [a.score_topk.remote(terms, idfs, k, prune=prune) for a in self.actors]
+        )
         merged: list[Hit] = []
         for conv, turn, score in parts:
             merged.extend(Hit(c, int(t), float(s)) for c, t, s in zip(conv, turn, score))
@@ -233,7 +401,7 @@ class LocalSearchEngine:
             zip(tab["term"].to_pylist(), (int(x) for x in tab["df"].to_pylist()))
         )
 
-    def search(self, query: str, k: int = 10) -> list[Hit]:
+    def search(self, query: str, k: int = 10, prune: bool = True) -> list[Hit]:
         terms_all = analyze_query(query, self.analyzer_cfg)
         terms, idfs = [], []
         for t in terms_all:
@@ -243,5 +411,5 @@ class LocalSearchEngine:
                 idfs.append(bm25_idf(float(self.n_docs), df))
         if not terms:
             return []
-        conv, turn, score = self.shard.score_topk(terms, idfs, k)
+        conv, turn, score = self.shard.score_topk(terms, idfs, k, prune=prune)
         return [Hit(c, int(t), float(s)) for c, t, s in zip(conv, turn, score)]
