@@ -41,6 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": fulltext.term_df,
         "bm25_all_nostem": fulltext.bm25_all_nostem,
         "bm25_topk": fulltext.bm25_topk,
+        "vsm_all_nostem": fulltext.vsm_all_nostem,
+        "vsm_topk": fulltext.vsm_topk,
+        "existential_all": fulltext.existential_all,
+        "eval_metrics": _eval_metrics,
         # ---- dedup family ----
         "dedup_exact": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -62,6 +66,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["media_id", "media_type", "height", "width", "n_frames"]
         ),
     }
+
+
+def _eval_metrics(sf_dir: str):
+    """Batch IR evaluation (AP/nDCG, themisEval semantics) through the
+    actor-pool QueryScorer; judgments = the engine's own top-3, so a
+    conformant engine scores AP == nDCG == 1.0 per query (rows-only)."""
+    import pandas as pd
+
+    from themis_search_engine_ray.functions.analyzer import AnalyzerConfig
+    from themis_search_engine_ray.pipelines.evaluation import (
+        JudgedQuery,
+        doc_id_str,
+        evaluate,
+    )
+    from themis_search_engine_ray.state.searcher import LocalSearchEngine
+
+    idx = fulltext.build_or_get_index(sf_dir, AnalyzerConfig())
+    eng = LocalSearchEngine(idx)
+    judged = []
+    for qid, q in enumerate(fulltext.EVAL_QUERIES):
+        top = eng.search(q, k=3)
+        judged.append(
+            JudgedQuery(
+                qid=qid,
+                query=q,
+                frequency=1.0,
+                judgments={doc_id_str(h.conv_id, h.turn_idx): 1 for h in top},
+            )
+        )
+    res = evaluate(idx, judged, model="bm25", k=10, concurrency=2)
+    return pd.DataFrame(res["per_query"])
 
 
 def _fp_scalars(batch):
@@ -146,6 +181,52 @@ def oracle_sql() -> dict[str, str]:
             "FROM qterms q JOIN tfs t ON t.tok = q.tok JOIN dfs d ON d.tok = q.tok, n, avg "
             "GROUP BY 1, 2, 3"
         ),
+        "vsm_all_nostem": (
+            f"WITH {_TURNS_CTE}, {_TOKS_CTE}, {_counts_cte()}, {_DOCSTATS_CTE}, "
+            "tfs AS (SELECT c.conv_id, c.turn_idx, c.tok, c.c * 1.0 / d.maxc AS tf "
+            "        FROM counts c JOIN docstats d "
+            "        ON c.conv_id = d.conv_id AND c.turn_idx = d.turn_idx), "
+            "dfs AS (SELECT tok, count(*) AS df FROM tfs GROUP BY tok), "
+            "ni AS (SELECT count(*) AS n FROM turns), "
+            # integer-division idf: log2(N // df) (Indexer.java:766)
+            "idfs AS (SELECT tok, ln(CAST(ni.n // df AS DOUBLE)) / ln(2) AS idf "
+            "         FROM dfs, ni), "
+            "norms AS (SELECT t.conv_id, t.turn_idx, "
+            "          sqrt(sum(pow(t.tf * i.idf, 2))) AS norm "
+            "          FROM tfs t JOIN idfs i ON t.tok = i.tok GROUP BY 1, 2), "
+            f"qs(qid, qtext) AS (VALUES {_queries_values()}), "
+            "qtok AS (SELECT qid, unnest(list_filter(string_split_regex("
+            "lower(regexp_replace(qtext, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '')) AS tok FROM qs), "
+            f"qcnt AS (SELECT qid, tok, CAST(count(*) AS DOUBLE) AS c FROM qtok "
+            f"         WHERE tok NOT IN ({stop}) GROUP BY 1, 2), "
+            "qmax AS (SELECT qid, greatest(1.0, max(c)) AS maxf FROM qcnt GROUP BY 1), "
+            "qw AS (SELECT q.qid, q.tok, q.c / m.maxf AS w, i.idf "
+            "       FROM qcnt q JOIN qmax m ON q.qid = m.qid "
+            "       LEFT JOIN idfs i ON q.tok = i.tok), "
+            # query norm over ALL stems; unknown ones keep the raw qtf weight
+            "qnorm AS (SELECT qid, sqrt(sum(pow(CASE WHEN idf IS NULL THEN w "
+            "          ELSE w * idf END, 2))) AS qn FROM qw GROUP BY qid), "
+            "nums AS (SELECT q.qid, t.conv_id, t.turn_idx, "
+            "         sum((t.tf * q.idf) * (q.w * q.idf)) AS num "
+            "         FROM qw q JOIN tfs t ON t.tok = q.tok "
+            "         WHERE q.idf IS NOT NULL GROUP BY 1, 2, 3) "
+            "SELECT CAST(s.qid AS BIGINT) AS qid, s.conv_id, s.turn_idx, "
+            "round(CASE WHEN n.norm * qn.qn = 0 THEN 0.0 "
+            "ELSE s.num / (n.norm * qn.qn) END, 4) AS score "
+            "FROM nums s JOIN norms n ON s.conv_id = n.conv_id AND s.turn_idx = n.turn_idx "
+            "JOIN qnorm qn ON s.qid = qn.qid"
+        ),
+        "existential_all": (
+            f"WITH {_TURNS_CTE}, {_TOKS_CTE}, "
+            f"qs(qid, qtext) AS (VALUES {_queries_values()}), "
+            "qtok AS (SELECT qid, unnest(list_filter(string_split_regex("
+            "lower(regexp_replace(qtext, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '')) AS tok FROM qs), "
+            f"qterms AS (SELECT DISTINCT qid, tok FROM qtok WHERE tok NOT IN ({stop})), "
+            f"dtoks AS (SELECT DISTINCT conv_id, turn_idx, tok FROM toks WHERE tok NOT IN ({stop})) "
+            "SELECT DISTINCT CAST(q.qid AS BIGINT) AS qid, d.conv_id, d.turn_idx, "
+            "CAST(1.0 AS DOUBLE) AS score "
+            "FROM qterms q JOIN dtoks d ON d.tok = q.tok"
+        ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, md5(text) AS text_hash "
             "FROM documents GROUP BY text"
@@ -207,7 +288,8 @@ def oracle_sql() -> dict[str, str]:
             "(1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0)) * 0.3)), 6) AS quality_score "
             "FROM base"
         ),
-        # term_df / bm25_topk (Porter), minhash/simhash (LSH), lang_id,
+        # term_df / bm25_topk / vsm_topk (Porter), eval_metrics (IR
+        # metrics over engine rankings), minhash/simhash (LSH), lang_id,
         # fingerprints, ivf_knn, media_features: non-SQL-expressible →
         # rows-only checks; exactness is covered by pytest oracles.
     }

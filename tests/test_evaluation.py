@@ -1,0 +1,140 @@
+"""Eval-harness conformance: AP / nDCG / CalculateValues replicate the
+reference's quirky formulas (themisEval.java), plus the Ray-Data batch
+query evaluation path (actor-pool QueryScorer)."""
+
+import json
+import math
+
+import pytest
+
+from themis_search_engine_ray.oracle import ThemisOracle
+from themis_search_engine_ray.pipelines.evaluation import (
+    JudgedQuery,
+    average_precision,
+    doc_id_str,
+    evaluate,
+    metric_values,
+    ndcg,
+    read_judgments,
+    write_eval_report,
+)
+from themis_search_engine_ray.pipelines.index_build import BuildConfig, build_index
+from themis_search_engine_ray.sources.transcripts import write_synthetic
+
+
+def test_ap_reference_variant():
+    j = {"a": 1, "b": 0, "c": 1, "d": 1}
+    # ranked: a(rel@1), x(unjudged->skipped), b(irrel@2), c(rel@3)
+    ap = average_precision(["a", "x", "b", "c"], j)
+    # found/counter: a -> 1/1 ; c -> 2/3 ; AP = (1 + 2/3)/2
+    assert ap == pytest.approx((1.0 + 2.0 / 3.0) / 2.0)
+    # no relevant retrieved -> NaN (Java 0.0/0.0)
+    assert math.isnan(average_precision(["x", "b"], j))
+    # unjudged docs never advance the rank counter
+    assert average_precision(["z1", "z2", "a"], j) == 1.0
+
+
+def test_ndcg_reference_variant():
+    j = {"a": 1, "b": 0, "c": 1}
+    # related=2 -> IDCG = 1/log2(2) + 1/log2(3)
+    idcg = 1.0 + 1.0 / (math.log(3) / math.log(2))
+    # ranked: b(judged irrel -> counter=1), a(rel -> counter=2, gain 1/log2(3))
+    # then break only when counter==related(2) — already there after 'a'
+    got = ndcg(["b", "a", "c"], j)
+    assert got == pytest.approx((1.0 / (math.log(3) / math.log(2))) / idcg)
+    assert math.isnan(ndcg(["a"], {"b": 0}))  # no relevant judged docs
+
+
+def test_metric_values_quirks():
+    mv = metric_values([0.5, float("nan"), 1.0, 0.0])
+    assert mv.min == 0.0 and mv.max == 1.0
+    assert mv.average == pytest.approx(1.5 / 3)
+    assert mv.mean == 0.5  # midrange, not median
+    # NaN-first freezes min/max at NaN (CalculateValues init quirk)
+    mv2 = metric_values([float("nan"), 0.5])
+    assert math.isnan(mv2.min) and math.isnan(mv2.max)
+    assert mv2.average == pytest.approx(0.5)
+
+
+def test_judgments_roundtrip(tmp_path):
+    path = tmp_path / "judgments.jsonl"
+    path.write_text(
+        json.dumps(
+            {
+                "qid": 3,
+                "query": "agent data",
+                "frequency": 0.25,
+                "documents": [
+                    {"doc_id": "c1:0", "relevance": 1},
+                    {"doc_id": "c2:5", "relevance": 0},
+                ],
+            }
+        )
+        + "\n"
+    )
+    (jq,) = read_judgments(str(path))
+    assert jq.qid == 3 and jq.judgments == {"c1:0": 1, "c2:5": 0}
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("eval")
+    corpus = str(tmp / "turns")
+    write_synthetic(corpus, n_turns=300, seed=5, turns_per_block=100)
+    idx = str(tmp / "index")
+    build_index(corpus, idx, BuildConfig(num_partitions=1, term_parts=4, salt_bits=1))
+    import pyarrow.dataset as pads
+
+    tab = pads.dataset(corpus, format="parquet").to_table()
+    oracle = ThemisOracle(
+        list(
+            zip(
+                tab["conv_id"].to_pylist(),
+                tab["turn_idx"].to_pylist(),
+                tab["text"].to_pylist(),
+            )
+        )
+    )
+    return idx, oracle
+
+
+def test_batch_eval_perfect_ranking(built, tmp_path):
+    """Judgments = the oracle's own top-3 per query ⇒ the engine (rank-
+    identical by conformance) must score AP == nDCG == 1.0 on every
+    query with ≥1 relevant doc."""
+    idx, oracle = built
+    queries = ["agent data model", "token response", "meetings effective"]
+    judged = []
+    for qid, q in enumerate(queries):
+        top = oracle.search(q, k=3)
+        judged.append(
+            JudgedQuery(
+                qid=qid,
+                query=q,
+                frequency=1.0,
+                judgments={doc_id_str(h.conv_id, h.turn_idx): 1 for h in top},
+            )
+        )
+    res = evaluate(idx, judged, model="bm25", k=10, concurrency=2)
+    assert len(res["per_query"]) == len(queries)
+    for pq in res["per_query"]:
+        assert pq["ap"] == pytest.approx(1.0)
+        assert pq["ndcg"] == pytest.approx(1.0)
+    assert res["ap"].min == pytest.approx(1.0)
+    report = tmp_path / "report.txt"
+    write_eval_report(str(report), res)
+    assert "ap min=" in report.read_text()
+
+
+def test_batch_eval_all_models_run(built):
+    idx, _ = built
+    judged = [
+        JudgedQuery(qid=0, query="agent data", frequency=1.0, judgments={"c0:0": 0})
+    ]
+    for model in ("bm25", "vsm", "existential"):
+        if model == "vsm":
+            from themis_search_engine_ray.pipelines.index_build import build_norms
+
+            build_norms(idx)
+        res = evaluate(idx, judged, model=model, k=5, concurrency=1)
+        assert res["model"] == model

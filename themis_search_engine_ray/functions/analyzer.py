@@ -172,3 +172,25 @@ def analyze_query(query: str, config: AnalyzerConfig = DEFAULT_CONFIG) -> list[s
         s = stem_token(t) if config.use_stemmer else t
         seen[s] = seen.get(s, 0) + 1
     return sorted(seen)
+
+
+def analyze_query_weighted(
+    query: str, config: AnalyzerConfig = DEFAULT_CONFIG
+) -> dict[str, float]:
+    """VSM query analyzer (``Search.java:169-199``): stopword-drop on the
+    raw token, stem, count per *stem*, then weight = count / maxfreq with
+    maxfreq starting at 1 (Search.java:172-198). Returns stem → qtf
+    weight; callers iterate in ascending stem order (sorted(dict))."""
+    counts: dict[str, float] = {}
+    maxfreq = 1.0
+    for t in tokenize(query):
+        if config.use_stopwords and t in STOPWORDS:
+            continue
+        s = stem_token(t) if config.use_stemmer else t
+        if s in counts:
+            counts[s] += 1.0
+            if counts[s] > maxfreq:
+                maxfreq = counts[s]
+        else:
+            counts[s] = 1.0
+    return {s: c / maxfreq for s, c in counts.items()}

@@ -20,9 +20,16 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from .functions.analyzer import AnalyzerConfig, DEFAULT_CONFIG, analyze_doc, analyze_query
+from .functions.analyzer import (
+    AnalyzerConfig,
+    DEFAULT_CONFIG,
+    analyze_doc,
+    analyze_query,
+    analyze_query_weighted,
+)
 from .functions.bm25 import idf as bm25_idf
 from .functions.bm25 import term_score
+from .functions.vsm import cosine, idf_int
 
 
 @dataclass
@@ -77,3 +84,69 @@ class ThemisOracle:
             # reference's index-out-of-bounds crash when k > |results|
             # (OkapiBM25.java:305-309).
         return [OracleHit(conv_id=c, turn_idx=ti, score=s) for (c, ti), s in ranked]
+
+    # ----------------------------------------------------------- VSM
+
+    def doc_norms(self) -> dict[tuple[str, int], float]:
+        """VSM doc norms (A4, Indexer.java:674-761): per doc
+        sqrt(Σ (tf·idf_int)²) over its stems, ascending stem order."""
+        import math
+
+        if not hasattr(self, "_norms"):
+            w2: dict[tuple[str, int], float] = {}
+            for stem in sorted(self.postings):
+                t_idf = idf_int(self.n_docs, len(self.postings[stem]))
+                for key, tf in self.postings[stem].items():
+                    w = tf * t_idf
+                    w2[key] = w2.get(key, 0.0) + w * w
+            self._norms = {key: math.sqrt(v) for key, v in w2.items()}
+        return self._norms
+
+    def search_vsm(self, query: str, k: int | None = None) -> list[OracleHit]:
+        """VSM cosine ranking (VSM.java:54-437 with the quirks spelled out
+        in functions/vsm.py). Scores use float64 with 1e-9 rel-tol parity
+        vs the engine (norm accumulation order differs)."""
+        import math
+
+        qweights = analyze_query_weighted(query, self.config)
+        norms = self.doc_norms()
+        # query norm over ALL stems: unknown ones keep the raw qtf weight
+        qn2 = 0.0
+        weights: dict[str, float] = {}
+        for s in sorted(qweights):
+            plist = self.postings.get(s)
+            if plist:
+                w = qweights[s] * idf_int(self.n_docs, len(plist))
+                weights[s] = w
+            else:
+                w = qweights[s]
+            qn2 += w * w
+        qnorm = math.sqrt(qn2)
+        scores: dict[tuple[str, int], float] = {}
+        for s in sorted(weights):
+            t_idf = idf_int(self.n_docs, len(self.postings[s]))
+            wq = weights[s]
+            for key, tf in self.postings[s].items():
+                scores[key] = scores.get(key, 0.0) + (tf * t_idf) * wq
+        ranked = sorted(
+            ((key, cosine(num, norms[key], qnorm)) for key, num in scores.items()),
+            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+        )
+        if k is not None:
+            ranked = ranked[: min(k, len(ranked))]
+        return [OracleHit(conv_id=c, turn_idx=ti, score=s) for (c, ti), s in ranked]
+
+    # --------------------------------------------------- Existential
+
+    def search_existential(self, query: str, k: int | None = None) -> list[OracleHit]:
+        """Boolean OR, every matching doc scored 1.0
+        (Existential.java:48-131). Divergence (documented): the reference
+        emits one row per (term, doc) match in insertion order — we
+        dedupe to distinct docs and order by (conv_id, turn_idx)."""
+        hits: set[tuple[str, int]] = set()
+        for t in analyze_query(query, self.config):
+            hits.update(self.postings.get(t, ()))
+        ranked = sorted(hits)
+        if k is not None:
+            ranked = ranked[: min(k, len(ranked))]
+        return [OracleHit(conv_id=c, turn_idx=ti, score=1.0) for c, ti in ranked]

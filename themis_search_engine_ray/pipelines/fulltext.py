@@ -147,3 +147,71 @@ def bm25_topk(sf_dir: str, k: int = 10):
     rank-identical + bit-exact vs the Python oracle in pytest; the
     driver records a rows-only check)."""
     return _bm25(sf_dir, AnalyzerConfig(), k=k, round_to=None)
+
+
+def _ensure_norms(idx: str) -> None:
+    from .index_build import build_norms
+
+    if not os.path.isdir(os.path.join(idx, "norms")):
+        build_norms(idx)
+
+
+def _vsm(sf_dir: str, cfg: AnalyzerConfig, k: int | None, round_to: int | None):
+    import pandas as pd
+
+    from ..state.searcher import LocalSearchEngine
+
+    idx = build_or_get_index(sf_dir, cfg)
+    _ensure_norms(idx)
+    eng = LocalSearchEngine(idx)
+    rows = []
+    for qid, q in enumerate(EVAL_QUERIES):
+        hits = eng.search_vsm(q, k=k if k is not None else 1 << 30)
+        for rank, h in enumerate(hits):
+            rows.append(
+                (
+                    qid,
+                    rank,
+                    h.conv_id,
+                    h.turn_idx,
+                    round_half_up(h.score, round_to) if round_to else h.score,
+                )
+            )
+    df = pd.DataFrame(rows, columns=["qid", "rank", "conv_id", "turn_idx", "score"])
+    df["qid"] = df["qid"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+def vsm_all_nostem(sf_dir: str):
+    """All OR-matched docs under VSM cosine, stemmer off, scores rounded
+    to 4 (SQL-oracle-checkable — norms, integer-division idf and the
+    unknown-term query-norm quirk spelled out in SQL)."""
+    df = _vsm(sf_dir, AnalyzerConfig(use_stemmer=False), k=None, round_to=4)
+    return df.drop(columns=["rank"])
+
+
+def vsm_topk(sf_dir: str, k: int = 10):
+    """Stemmed VSM top-k (pytest-verified vs the oracle; rows-only for
+    the driver)."""
+    return _vsm(sf_dir, AnalyzerConfig(), k=k, round_to=None)
+
+
+def existential_all(sf_dir: str):
+    """Boolean OR candidates (Existential model), stemmer off — distinct
+    (qid, conv_id, turn_idx) matching ≥1 query term, score 1.0."""
+    import pandas as pd
+
+    from ..state.searcher import LocalSearchEngine
+
+    idx = build_or_get_index(sf_dir, AnalyzerConfig(use_stemmer=False))
+    eng = LocalSearchEngine(idx)
+    rows = []
+    for qid, q in enumerate(EVAL_QUERIES):
+        for h in eng.search_existential(q, k=1 << 30):
+            rows.append((qid, h.conv_id, h.turn_idx, h.score))
+    df = pd.DataFrame(rows, columns=["qid", "conv_id", "turn_idx", "score"])
+    df["qid"] = df["qid"].astype("int64")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df

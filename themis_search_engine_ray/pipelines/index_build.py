@@ -238,3 +238,129 @@ def finalize_index(out_dir: str, cfg: BuildConfig, n_partitions: int) -> dict:
 def load_meta(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "meta.json")) as f:
         return json.load(f)
+
+
+def build_norms(index_dir: str) -> str:
+    """VSM doc-norm pass (A4) as a Ray pipeline; idempotent.
+
+    The reference streams the merged vocabulary, accumulates Σ(tf·idf)²
+    per doc in one giant HashMap, then patches documents.idx
+    (``themis/indexer/Indexer.java:674-761`` — its real OOM risk).
+    Ray-native replacement, no full-corpus driver state:
+
+      from_items(term_part groups) → map task per group: read that
+      term-hash partition's segment rows from EVERY salt & build
+      partition (a term's full postings live in one term_part, so
+      global df = Σ local df needs no shuffle), decode runs, accumulate
+      per-doc Σw² partials in a bounded dict → rows (doc_id, kp, w2)
+      → groupby("doc_id").map_groups: sum partials in ascending-kp
+      order (deterministic float accumulation) → sqrt → write
+      ``norms/salt=*/`` parquet.
+
+    idf here is the *integer-division* variant (Indexer.java:766) — see
+    functions/vsm.py. Output: ``norms/`` directory, returned.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.vsm import idf_int
+    from ..stages.codec import all_tfs, decode_all_docs, skips_from_bytes
+
+    meta = load_meta(index_dir)
+    n_docs = int(meta["n_docs"])
+    term_parts = int(meta["term_parts"])
+    salt_bits = int(meta["salt_bits"])
+    part_root = os.path.join(index_dir, "partitions")
+
+    files_by_kp: dict[int, list[str]] = {kp: [] for kp in range(term_parts)}
+    for pdir in sorted(os.listdir(part_root)):
+        seg_dir = os.path.join(part_root, pdir, "segments")
+        if not os.path.isdir(seg_dir):
+            continue
+        for fname in sorted(os.listdir(seg_dir)):
+            if fname.endswith(".parquet"):
+                gkey = int(fname[4:-8])
+                files_by_kp[gkey % term_parts].append(os.path.join(seg_dir, fname))
+
+    items = [
+        {"kp": kp, "files": files} for kp, files in files_by_kp.items() if files
+    ]
+
+    def w2_partials(batch: dict) -> pa.Table:
+        out_ids: list[np.ndarray] = []
+        out_w2: list[np.ndarray] = []
+        kps: list[int] = []
+        for kp, files in zip(batch["kp"], batch["files"]):
+            tabs = [pq.read_table(f, columns=["term", "df", "docs", "tfs", "skips"]) for f in files]
+            df_global: dict[str, int] = {}
+            for tab in tabs:
+                for term, df in zip(tab["term"].to_pylist(), tab["df"].to_pylist()):
+                    df_global[term] = df_global.get(term, 0) + int(df)
+            acc: dict[int, float] = {}
+            for tab in tabs:
+                terms = tab["term"].to_pylist()
+                for row in range(tab.num_rows):
+                    t_idf = idf_int(n_docs, df_global[terms[row]])
+                    skips = skips_from_bytes(tab["skips"][row].as_buffer())
+                    ids = decode_all_docs(tab["docs"][row].as_buffer(), skips)
+                    if ids.size == 0:
+                        continue
+                    w = all_tfs(tab["tfs"][row].as_buffer()) * t_idf
+                    w2 = w * w
+                    for did, v in zip(ids.tolist(), w2.tolist()):
+                        acc[did] = acc.get(did, 0.0) + v
+            if acc:
+                out_ids.append(np.fromiter(acc.keys(), np.uint64, len(acc)))
+                out_w2.append(np.fromiter(acc.values(), np.float64, len(acc)))
+                kps.extend([int(kp)] * len(acc))
+        if not out_ids:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "kp": pa.array([], pa.int32()),
+                    "w2": pa.array([], pa.float64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(np.concatenate(out_ids).astype(np.int64)),
+                "kp": pa.array(np.asarray(kps, np.int32)),
+                "w2": pa.array(np.concatenate(out_w2)),
+            }
+        )
+
+    def norm_group(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        kp = group["kp"].to_numpy()
+        w2 = group["w2"].to_numpy()
+        uniq = np.unique(ids)
+        # ascending-kp accumulation per doc: deterministic float sums
+        order = np.lexsort((kp, ids))
+        acc = np.zeros(uniq.size, np.float64)
+        np.add.at(acc, np.searchsorted(uniq, ids[order]), w2[order])
+        norms = np.sqrt(acc)
+        salts = (uniq.astype(np.uint64) >> np.uint64(63 - salt_bits)).astype(np.int32)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(uniq.astype(np.int64)),
+                "norm": pa.array(norms),
+                "salt": pa.array(salts),
+            }
+        )
+
+    out_dir = os.path.join(index_dir, "norms")
+    tmp_dir = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    (
+        rd.from_items(items)
+        .map_batches(w2_partials, batch_size=1)
+        .groupby("doc_id")
+        .map_groups(norm_group, batch_format="pyarrow")
+        .write_parquet(tmp_dir, partition_cols=["salt"])
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp_dir, out_dir)
+    return out_dir

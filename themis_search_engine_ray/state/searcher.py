@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from ..functions.analyzer import AnalyzerConfig, analyze_query
+from ..functions.analyzer import AnalyzerConfig, analyze_query, analyze_query_weighted
 from ..functions.bm25 import idf as bm25_idf
 from ..functions.bm25 import term_score
 from ..pipelines.index_build import load_meta
@@ -120,6 +120,29 @@ class ShardIndex:
         self.dl_min = float(self.dl.min()) if self.dl.size else 0.0
         # stats of the last pruned query (observability + tests)
         self.last_prune_stats: dict = {}
+
+        # VSM doc norms (optional: present after build_norms ran),
+        # aligned to self.doc_ids
+        self.norms: np.ndarray | None = None
+        norm_root = os.path.join(index_dir, "norms")
+        if os.path.isdir(norm_root):
+            nframes = []
+            for s in self.salts:
+                sdir = os.path.join(norm_root, f"salt={s}")
+                if os.path.isdir(sdir):
+                    nframes.append(
+                        pads.dataset(sdir, format="parquet").to_table(
+                            columns=["doc_id", "norm"]
+                        )
+                    )
+            self.norms = np.zeros(self.doc_ids.size, np.float64)
+            if nframes:
+                import pyarrow as pa
+
+                ntab = pa.concat_tables(nframes)
+                nids = ntab["doc_id"].to_numpy().astype(np.uint64)
+                pos = np.searchsorted(self.doc_ids, nids)
+                self.norms[pos] = ntab["norm"].to_numpy()
 
     def df_local(self, term: str) -> int:
         return sum(
@@ -296,6 +319,56 @@ class ShardIndex:
             return [], [], []
         return self._rank(id_chunks, sc_chunks, k)
 
+    def score_topk_vsm(
+        self, terms: list[str], idfs: list[float], qweights: list[float], qnorm: float, k: int
+    ):
+        """VSM cosine shard top-k (``themis/retrieval/models/VSM.java``
+        semantics via functions/vsm.py; requires build_norms output).
+        ``terms`` ascending; per-doc numerator accumulates in that order."""
+        if self.norms is None:
+            raise RuntimeError("VSM needs norms/ — run build_norms(index_dir) first")
+        id_chunks, sc_chunks = [], []
+        for term, t_idf, wq in zip(terms, idfs, qweights):
+            for ti, row in self.runs.get(term, ()):
+                ids, tfs = self._decode_run(ti, row)
+                if ids.size:
+                    id_chunks.append(ids)
+                    sc_chunks.append((tfs * t_idf) * wq)
+        if not id_chunks:
+            return [], [], []
+        cand = np.concatenate(id_chunks)
+        contrib = np.concatenate(sc_chunks)
+        uniq, inv = np.unique(cand, return_inverse=True)
+        num = np.zeros(uniq.size, np.float64)
+        np.add.at(num, inv, contrib)
+        pos = np.searchsorted(self.doc_ids, uniq)
+        denom = self.norms[pos] * qnorm
+        with np.errstate(divide="ignore", invalid="ignore"):
+            acc = np.where(denom != 0.0, num / denom, 0.0)
+        conv = self.conv[pos]
+        turn = self.turn[pos]
+        order = np.lexsort((turn, conv, -acc))[: min(k, acc.size)]
+        return conv[order].tolist(), turn[order].tolist(), acc[order].tolist()
+
+    def candidates_existential(self, terms: list[str], k: int):
+        """Boolean OR: distinct matching docs, score 1.0, (conv, turn)
+        order (Existential.java:48-131; dedupe divergence documented in
+        oracle.search_existential)."""
+        id_chunks = []
+        for term in terms:
+            for ti, row in self.runs.get(term, ()):
+                ids, _ = self._decode_run(ti, row)
+                if ids.size:
+                    id_chunks.append(ids)
+        if not id_chunks:
+            return [], []
+        uniq = np.unique(np.concatenate(id_chunks))
+        pos = np.searchsorted(self.doc_ids, uniq)
+        conv = self.conv[pos]
+        turn = self.turn[pos]
+        order = np.lexsort((turn, conv))[: min(k, uniq.size)]
+        return conv[order].tolist(), turn[order].tolist()
+
     def _score_full(self, run_lists, idfs, k, pre: dict | None = None):
         """Full OR evaluation (every run decoded) — the no-prune path."""
         id_chunks, sc_chunks = [], []
@@ -323,6 +396,12 @@ class ShardSearcher:
 
     def score_topk(self, terms, idfs, k, prune: bool = True):
         return self.shard.score_topk(terms, idfs, k, prune=prune)
+
+    def score_topk_vsm(self, terms, idfs, qweights, qnorm, k):
+        return self.shard.score_topk_vsm(terms, idfs, qweights, qnorm, k)
+
+    def candidates_existential(self, terms, k):
+        return self.shard.candidates_existential(terms, k)
 
     def ready(self) -> bool:
         return True
@@ -378,6 +457,54 @@ class SearchEngine:
         merged.sort(key=lambda h: (-h.score, h.conv_id, h.turn_idx))
         return merged[: min(k, len(merged))]
 
+    def _vsm_query(self, query: str):
+        """Shared VSM query-side math (see functions/vsm.py docstring)."""
+        import math
+
+        from ..functions.vsm import idf_int
+
+        qweights = analyze_query_weighted(query, self.analyzer_cfg)
+        terms, idfs, wqs = [], [], []
+        qn2 = 0.0
+        for s in sorted(qweights):
+            df = self.df.get(s)
+            if df:
+                t_idf = idf_int(self.n_docs, df)
+                w = qweights[s] * t_idf
+                terms.append(s)
+                idfs.append(t_idf)
+                wqs.append(w)
+            else:
+                w = qweights[s]  # unknown stems keep raw qtf (VSM.java:186-192)
+            qn2 += w * w
+        return terms, idfs, wqs, math.sqrt(qn2)
+
+    def search_vsm(self, query: str, k: int = 10) -> list[Hit]:
+        import ray
+
+        terms, idfs, wqs, qnorm = self._vsm_query(query)
+        if not terms:
+            return []
+        parts = ray.get(
+            [a.score_topk_vsm.remote(terms, idfs, wqs, qnorm, k) for a in self.actors]
+        )
+        merged: list[Hit] = []
+        for conv, turn, score in parts:
+            merged.extend(Hit(c, int(t), float(s)) for c, t, s in zip(conv, turn, score))
+        merged.sort(key=lambda h: (-h.score, h.conv_id, h.turn_idx))
+        return merged[: min(k, len(merged))]
+
+    def search_existential(self, query: str, k: int = 10) -> list[Hit]:
+        import ray
+
+        terms = [t for t in analyze_query(query, self.analyzer_cfg) if self.df.get(t)]
+        if not terms:
+            return []
+        parts = ray.get([a.candidates_existential.remote(terms, k) for a in self.actors])
+        merged = [(c, int(t)) for conv, turn in parts for c, t in zip(conv, turn)]
+        merged.sort()
+        return [Hit(c, t, 1.0) for c, t in merged[: min(k, len(merged))]]
+
     def close(self) -> None:
         import ray
 
@@ -413,3 +540,17 @@ class LocalSearchEngine:
             return []
         conv, turn, score = self.shard.score_topk(terms, idfs, k, prune=prune)
         return [Hit(c, int(t), float(s)) for c, t, s in zip(conv, turn, score)]
+
+    def search_vsm(self, query: str, k: int = 10) -> list[Hit]:
+        terms, idfs, wqs, qnorm = SearchEngine._vsm_query(self, query)
+        if not terms:
+            return []
+        conv, turn, score = self.shard.score_topk_vsm(terms, idfs, wqs, qnorm, k)
+        return [Hit(c, int(t), float(s)) for c, t, s in zip(conv, turn, score)]
+
+    def search_existential(self, query: str, k: int = 10) -> list[Hit]:
+        terms = [t for t in analyze_query(query, self.analyzer_cfg) if self.df.get(t)]
+        if not terms:
+            return []
+        conv, turn = self.shard.candidates_existential(terms, k)
+        return [Hit(c, int(t), 1.0) for c, t in zip(conv, turn)]
