@@ -133,7 +133,10 @@ def run_bench() -> dict:
         )
 
     t0 = time.time()
-    n_pairs = minhash_pairs_ds(as_docs(min(n_turns, 30_000)), verify="join").count()
+    # materialize: minhash_pairs_ds executes its input more than once and
+    # an unordered limit() is nondeterministic across executions
+    docs_sample = as_docs(min(n_turns, 30_000)).materialize()
+    n_pairs = minhash_pairs_ds(docs_sample, verify="scan").count()
     timings["minhash_dedup_30k"] = time.time() - t0
 
     # --- term_df groupby at full corpus scale (the non-index shuffle op) ---

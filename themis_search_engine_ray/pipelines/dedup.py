@@ -177,7 +177,7 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_pairs_ds(ds, threshold=threshold, k=k, verify="broadcast")
+    return minhash_pairs_ds(ds, threshold=threshold, k=k, verify="scan")
 
 
 def minhash_pairs_ds(
@@ -186,16 +186,26 @@ def minhash_pairs_ds(
     text_col: str = "text",
     threshold: float = 0.5,
     k: int = 3,
-    verify: str = "join",
+    verify: str = "scan",
 ):
     """MinHash(64) + LSH(16 bands × 4 rows) candidates, exact-Jaccard
     verified.
 
-    ``verify="join"`` (the scale path) attaches each candidate pair's
-    shingle sets via two hash-partitioned ``Dataset.join``s — no
-    driver-side state, shuffle volume = candidates + shingle lists.
-    ``verify="broadcast"`` ships a doc→shingles dict via ``ray.put``
-    (small corpora only).
+    ``verify="scan"`` (default, the scale path): collect the candidate
+    doc-id set (small — proportional to candidate *pairs*, not corpus),
+    ``ray.put`` it, rescan the corpus keeping only candidate docs'
+    shingle sets, broadcast those to the pair-verification map. One
+    extra column-pruned corpus scan, zero join shuffles; the broadcast
+    is the SMALL side both times.
+    ``verify="join"`` attaches each pair's shingle sets via two
+    hash-partitioned ``Dataset.join``s — no driver-side state at all;
+    use when even the candidate set exceeds driver memory.
+    ``verify="broadcast"`` ships ALL docs' shingles via ``ray.put``
+    (tiny corpora only).
+
+    The input ``ds`` must be deterministic across executions (this
+    function executes it more than once); materialize nondeterministic
+    inputs (e.g. an unordered ``limit()``) first.
     """
     import ray
 
@@ -273,6 +283,46 @@ def minhash_pairs_ds(
             return _jaccard_rows(a, b, [smap[x] for x in a], [smap[y] for y in b])
 
         return candidates.map_batches(verify_broadcast, batch_format="pyarrow")
+
+    if verify == "scan":
+        # candidate id set is small (≈ 2 × candidate pairs); collect it
+        cand_tab = candidates.select_columns(["a", "b"]).materialize()
+        cand_ids: set[int] = set()
+        for batch in cand_tab.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            cand_ids.update(batch["a"].to_pylist())
+            cand_ids.update(batch["b"].to_pylist())
+        ids_ref = ray.put(cand_ids)
+
+        def cand_shingles(batch: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            ids, sets = [], []
+            for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                if did in want:
+                    ids.append(did)
+                    sets.append("\x1f".join(sorted(_shingles(t, k))))
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "sh_set": pa.array(sets, pa.string()),
+                }
+            )
+
+        smap: dict[int, set] = {}
+        for batch in (
+            ds.map_batches(cand_shingles, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_size=65536, batch_format="pyarrow")
+        ):
+            for did, s in zip(batch["doc_id"].to_pylist(), batch["sh_set"].to_pylist()):
+                smap[did] = set(s.split("\x1f")) if s else set()
+        smap_ref = ray.put(smap)
+
+        def verify_scan(batch: pa.Table) -> pa.Table:
+            m = ray.get(smap_ref)
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            return _jaccard_rows(a, b, [m[x] for x in a], [m[y] for y in b])
+
+        return cand_tab.map_batches(verify_scan, batch_format="pyarrow")
 
     # distributed verify: hash-partitioned joins attach both shingle sets
     def shingle_sets(batch: pa.Table) -> pa.Table:

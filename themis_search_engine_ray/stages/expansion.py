@@ -1,0 +1,180 @@
+"""Query-expansion actor stages (SURVEY M10/M11).
+
+Reference behavior (`/root/reference`, ``themis/queryExpansion/``):
+
+* **WordNet/EXTJWNL** (``EXTJWNL.java:53-116``): per query, build the
+  set of unique tokens (count = C); POS-tag; for nouns/verbs/adjs/advs
+  collect all synset lemma tokens not already seen; then emit up to
+  C+1 words from the set (HashSet order — nondeterministic) followed by
+  the original query string.
+* **GloVe** (``Glove.java:20-55``): per query, append the deduped
+  nearest-1 embedding neighbor of each token to the original query.
+  The reference reloads the GloVe model for EVERY token (pathological);
+  here the model loads once per actor in ``__init__``.
+
+Neither WordNet, a POS tagger, nor GloVe vectors exist in this
+container, so the *models* are deterministic stubs (clearly marked);
+the Ray-side plumbing — callable classes for
+``map_batches(cls, concurrency=N)``, one model load per actor, batch
+schema (qid, query) → (qid, query, expanded) — is real and tested.
+Swapping a stub for a real model is a constructor argument.
+
+Determinism divergence (documented): the reference's HashSet iteration
+order is nondeterministic; we emit candidate words in insertion order
+(original tokens first, then synonyms in token order).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+class StubSynonymLexicon:
+    """Deterministic stand-in for WordNet + the Stanford POS tagger.
+
+    ``synonyms(token)`` returns up to ``n_senses`` synthetic lemmas
+    derived from a stable hash — the shape of real synset output
+    (multi-word lemmas included) without the lexicon. Replace with a
+    real WordNet-backed lexicon by passing any object with the same
+    method to :class:`WordNetExpander`.
+    """
+
+    def __init__(self, n_senses: int = 2):
+        self.n_senses = n_senses
+
+    def is_content_word(self, token: str) -> bool:
+        # stands in for the POS filter (noun/verb/adj/adv — EXTJWNL
+        # getPos); deterministic pseudo-POS from the token hash
+        h = hashlib.blake2b(token.encode(), digest_size=2).digest()
+        return h[0] % 4 != 3  # ~75% of tokens "content words"
+
+    def synonyms(self, token: str) -> list[str]:
+        if not self.is_content_word(token):
+            return []
+        out = []
+        for i in range(self.n_senses):
+            h = hashlib.blake2b(f"{token}|{i}".encode(), digest_size=4).hexdigest()
+            # every other sense is a two-word lemma, like WordNet collocations
+            out.append(f"{token}{h[:3]}" if i % 2 == 0 else f"{token} {h[:3]}")
+        return out
+
+
+class WordNetExpander:
+    """``map_batches`` actor stage replicating EXTJWNL.extendQuery.
+
+    Batch in: (qid, query) → out: (qid, query, expanded). Lexicon is
+    constructed ONCE per actor (T4 state — the reference loads the
+    WordNet dictionary + MaxentTagger per call)."""
+
+    def __init__(self, lexicon=None):
+        self.lexicon = lexicon if lexicon is not None else StubSynonymLexicon()
+
+    def expand_one(self, query: str) -> str:
+        words_seen: dict[str, None] = {}  # insertion-ordered set
+        raw_tokens = query.split()
+        for t in raw_tokens:
+            words_seen.setdefault(t, None)
+        counter_of_tokens = len(words_seen)
+        for t in raw_tokens:
+            for lemma in self.lexicon.synonyms(t):
+                if lemma not in words_seen:
+                    # multi-word lemmas are re-tokenized (EXTJWNL:95-101)
+                    for part in lemma.split():
+                        words_seen.setdefault(part, None)
+        added = []
+        # "up to counter_of_tokens+1 words" incl. original tokens
+        # (EXTJWNL:107-112: the cap counts everything it emits)
+        for w in words_seen:
+            if len(added) > counter_of_tokens:
+                break
+            added.append(w)
+        return " ".join(added) + " " + query
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        queries = batch["query"].to_pylist()
+        expanded = [self.expand_one(q if q else "") for q in queries]
+        return pa.Table.from_arrays(
+            [batch["qid"], batch["query"], pa.array(expanded, pa.string())],
+            names=["qid", "query", "expanded"],
+        )
+
+
+class StubEmbeddingModel:
+    """Deterministic stand-in for a GloVe word-vector model: a fixed
+    vocabulary with hash-seeded unit vectors. Real math (normalized
+    matmul nearest-neighbor), fake data. Swap for real vectors by
+    passing (vocab, matrix) to :class:`GloveExpander`."""
+
+    def __init__(self, vocab: list[str], dim: int = 16):
+        self.vocab = list(vocab)
+        mats = []
+        for w in self.vocab:
+            seed = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+            )
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(dim)
+            mats.append(v / np.linalg.norm(v))
+        self.matrix = np.asarray(mats)  # (V, dim), rows unit-norm
+        self.index = {w: i for i, w in enumerate(self.vocab)}
+
+    def vectors(self, tokens: list[str]) -> tuple[np.ndarray, list[int]]:
+        rows = [self.index[t] for t in tokens if t in self.index]
+        return self.matrix[rows], rows
+
+    def nearest(self, token: str) -> str | None:
+        """Nearest vocabulary word by cosine, excluding the token itself
+        (``model.wordsNearest(term, 1)``)."""
+        i = self.index.get(token)
+        if i is None:
+            return None
+        sims = self.matrix @ self.matrix[i]
+        sims[i] = -np.inf
+        return self.vocab[int(np.argmax(sims))]
+
+
+class GloveExpander:
+    """``map_batches`` actor stage replicating Glove.extendQuery with the
+    model loaded once per actor instead of once per token."""
+
+    def __init__(self, model=None, vocab: list[str] | None = None):
+        if model is None:
+            model = StubEmbeddingModel(vocab or [])
+        self.model = model
+
+    def expand_one(self, query: str) -> str:
+        neighbors: dict[str, None] = {}
+        for t in query.split():
+            n = self.model.nearest(t)
+            if n is not None:
+                neighbors.setdefault(n, None)
+        out = query
+        for n in neighbors:
+            out += " " + n
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        queries = batch["query"].to_pylist()
+        expanded = [self.expand_one(q if q else "") for q in queries]
+        return pa.Table.from_arrays(
+            [batch["qid"], batch["query"], pa.array(expanded, pa.string())],
+            names=["qid", "query", "expanded"],
+        )
+
+
+def expand_queries(queries: list[str], expander_cls=WordNetExpander, concurrency: int = 2, **kw):
+    """Batch query expansion through an actor pool: the Ray-Data-native
+    equivalent of Search.java:75 expanding all queries up front."""
+    import ray.data as rd
+
+    ds = rd.from_items([{"qid": i, "query": q} for i, q in enumerate(queries)])
+    return ds.map_batches(
+        expander_cls,
+        fn_constructor_kwargs=kw,
+        concurrency=min(concurrency, max(1, len(queries))),
+        batch_size=max(1, len(queries) // max(1, concurrency)),
+        batch_format="pyarrow",
+    )
