@@ -1,13 +1,15 @@
 """End-to-end inverted-index build over transcript Parquet (Ray Data).
 
-Dataflow per build partition (a disjoint group of input files):
+Dataflow per build partition (a disjoint group of input files) — ONE
+read, ONE analyze, ONE shuffle:
 
     read_parquet(cols: conv_id, turn_idx, text)       # prune at the read
-      ├─ map_batches(DocStatsBatcher)  → doc_stats/salt=*/   (parquet)
-      └─ map_batches(FragmentBatcher)  → posting fragments   (combiner)
-           groupby("gkey")                              # THE shuffle
-           map_groups(SegmentWriter)    → segments/seg-*.parquet
-                                        → per-group manifest rows
+      map_batches(FragmentBatcher(emit_doc_stats=True))   # combiner:
+        → posting fragments (gkey ≥ 0) + packed doc-stat rows (gkey < 0)
+      groupby("gkey")                                 # THE shuffle
+      map_groups(SegmentWriter) → segments/seg-*.parquet
+                                → doc_stats/salt=*/ (sentinel groups)
+                                → per-group manifest rows
 
 Finalize (across partitions):
     read segments (term, df) → groupby(term).sum → term_stats/   (global df)
@@ -40,7 +42,7 @@ import pyarrow.parquet as pq
 
 from ..functions.analyzer import AnalyzerConfig, DEFAULT_CONFIG
 from ..stages.encode import SegmentWriter
-from ..stages.tokenize import DocStatsBatcher, FragmentBatcher
+from ..stages.tokenize import FragmentBatcher
 
 
 @dataclass
@@ -51,6 +53,11 @@ class BuildConfig:
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
     batch_size: int = 1024  # turns per tokenize batch
     num_partitions: int = 1  # build partitions (checkpoint granularity)
+    # partition pipelines run concurrently (driver threads; each is an
+    # independent Ray Data dataset) — overlaps the per-pipeline fixed
+    # latency (startup + shuffle barrier) that otherwise serializes;
+    # checkpoint semantics unchanged (manifest written per completion)
+    build_concurrency: int = 4
 
     @property
     def num_shards(self) -> int:
@@ -61,6 +68,30 @@ class BuildConfig:
             f"{self.analyzer.fingerprint};salt_bits={self.salt_bits};"
             f"parts={self.term_parts};pos={int(self.with_positions)}"
         )
+
+
+def _stub_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable from threads.
+
+    Ray's read path imports it per read_parquet() and catches only
+    ModuleNotFoundError (path_util._is_http_filesystem). Without
+    aiohttp the import always fails — harmless sequentially, but two
+    threads racing the failed import can observe a partially-initialized
+    module and get a plain ImportError that Ray does NOT catch. Register
+    a sentinel module (an HTTPFileSystem class nothing isinstance-matches)
+    once, so concurrent partition builds can't race it.
+    """
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+    mod.HTTPFileSystem = type("HTTPFileSystem", (), {})
+    sys.modules["fsspec.implementations.http"] = mod
 
 
 def _list_input_files(input_path: str | list[str]) -> list[str]:
@@ -99,55 +130,59 @@ def build_partition(
     ds_dir = os.path.join(pdir, "doc_stats")
     os.makedirs(seg_dir, exist_ok=True)
 
-    turns = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+    # Read parallelism: the tokenize map fuses into the read tasks, so
+    # one task per *file* would cap the whole build at #files concurrent
+    # CPUs. Ask for >= 2 blocks per CPU (row-group granularity) so the
+    # Python-heavy analyzer stage saturates the cluster.
+    import ray
 
-    # doc stats (no stemming; cheap pass)
-    stats_ds = turns.map_batches(
-        DocStatsBatcher(cfg.analyzer, cfg.salt_bits),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        zero_copy_batch=True,
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nblocks = max(2 * ncpu, len(files))
+    turns = rd.read_parquet(
+        files, columns=["conv_id", "turn_idx", "text"], override_num_blocks=nblocks
     )
-    stats_ds.write_parquet(ds_dir, partition_cols=["salt"])
 
-    # posting fragments -> groupby(gkey) shuffle -> encoded segments
+    # ONE pass: posting fragments + packed doc-stat rows from the same
+    # analyze, ONE groupby(gkey) shuffle routing both to their writers
     frags = turns.map_batches(
-        FragmentBatcher(cfg.analyzer, cfg.salt_bits, cfg.term_parts, cfg.with_positions),
+        FragmentBatcher(
+            cfg.analyzer,
+            cfg.salt_bits,
+            cfg.term_parts,
+            cfg.with_positions,
+            emit_doc_stats=True,
+        ),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         zero_copy_batch=True,
     )
-    writer = SegmentWriter(seg_dir, cfg.with_positions)
+    os.makedirs(ds_dir, exist_ok=True)
+    writer = SegmentWriter(seg_dir, cfg.with_positions, ds_dir=ds_dir)
 
-    def write_segment_group(group):
+    def write_group(group):
         return writer(group)
 
     manifest_rows = (
         frags.groupby("gkey")
-        .map_groups(write_segment_group, batch_format="pyarrow")
+        .map_groups(write_group, batch_format="pyarrow")
         .to_pandas()  # tiny: one row per gkey group
     )
-
-    # partition doc-count metrics from the written doc_stats (column scan)
-    import pyarrow.dataset as pads
-
-    dstab = pads.dataset(ds_dir, format="parquet").to_table(columns=["dl"])
-    n_docs = dstab.num_rows
-    sum_dl = int(dstab["dl"].to_pandas().sum()) if n_docs else 0
+    segs = manifest_rows[manifest_rows["kind"] == "segment"]
+    dstats = manifest_rows[manifest_rows["kind"] == "doc_stats"]
 
     manifest = {
         "partition": pid,
         "input_files": files,
         "config_fingerprint": cfg.fingerprint(),
         "metrics": {
-            "n_docs": int(n_docs),
-            "sum_dl": sum_dl,
-            "n_postings": int(manifest_rows["n_postings"].sum()) if len(manifest_rows) else 0,
-            "n_groups": int(len(manifest_rows)),
-            "seg_bytes": int(manifest_rows["bytes"].sum()) if len(manifest_rows) else 0,
+            "n_docs": int(dstats["n_docs"].sum()),
+            "sum_dl": int(dstats["sum_dl"].sum()),
+            "n_postings": int(segs["n_postings"].sum()),
+            "n_groups": int(len(segs)),
+            "seg_bytes": int(segs["bytes"].sum()),
             "build_seconds": round(time.time() - t0, 3),
         },
-        "segments": sorted(manifest_rows["file"].tolist()),
+        "segments": sorted(segs["file"].tolist()),
     }
     return manifest
 
@@ -165,6 +200,7 @@ def build_index(
     os.makedirs(man_dir, exist_ok=True)
 
     built, skipped = 0, 0
+    todo: list[tuple[int, list[str], str]] = []
     for pid, pfiles in enumerate(parts):
         mpath = os.path.join(man_dir, f"p{pid:05d}.json")
         if os.path.exists(mpath):
@@ -176,9 +212,27 @@ def build_index(
             ):
                 skipped += 1
                 continue  # checkpointed partition: skip (resume)
-        manifest = build_partition(pid, pfiles, out_dir, cfg)
-        _atomic_write_json(mpath, manifest)
-        built += 1
+        todo.append((pid, pfiles, mpath))
+
+    if len(todo) <= 1 or cfg.build_concurrency <= 1:
+        for pid, pfiles, mpath in todo:
+            _atomic_write_json(mpath, build_partition(pid, pfiles, out_dir, cfg))
+            built += 1
+    else:
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+
+        _stub_fsspec_http()
+
+        with ThreadPoolExecutor(min(cfg.build_concurrency, len(todo))) as ex:
+            futs = {
+                ex.submit(build_partition, pid, pfiles, out_dir, cfg): mpath
+                for pid, pfiles, mpath in todo
+            }
+            for fut in as_completed(futs):
+                # manifest lands as each partition completes, so a crash
+                # mid-way still leaves finished partitions resumable
+                _atomic_write_json(futs[fut], fut.result())
+                built += 1
 
     meta = finalize_index(out_dir, cfg, n_partitions=len(parts))
     meta["partitions_built"] = built

@@ -190,7 +190,12 @@ def synthetic_dataset(n_turns: int, seed: int = 42, turns_per_block: int = 4096)
 
 
 def write_synthetic(path: str, n_turns: int, seed: int = 42, turns_per_block: int = 4096) -> None:
-    synthetic_dataset(n_turns, seed, turns_per_block).write_parquet(path)
+    # small row groups keep the files splittable into many read tasks
+    # (a single-row-group file caps downstream read/tokenize parallelism
+    # at #files regardless of override_num_blocks)
+    synthetic_dataset(n_turns, seed, turns_per_block).write_parquet(
+        path, row_group_size=1024
+    )
 
 
 TURNS_PER_CONV = 8  # documents-derivation fanout (fixed, mirrored in SQL)

@@ -41,9 +41,15 @@ _SKIP_DTYPE = np.dtype(
 
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array (vectorized)."""
+    return varint_encode_with_lengths(values)[0]
+
+
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode; also return the byte length of each value (lets
+    callers compute block byte offsets without re-encoding per block)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, np.int64)
     # exact byte length per value via threshold comparisons (1..10)
     nb = np.ones(v.shape, dtype=np.int64)
     for i in range(1, 10):
@@ -59,7 +65,7 @@ def varint_encode(values: np.ndarray) -> bytes:
         vals = (v[mask] >> np.uint64(7 * i)) & np.uint64(0x7F)
         cont = (nb[mask] > i + 1).astype(np.uint8) << 7
         out[starts[mask] + i] = vals.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nb
 
 
 def varint_decode(buf, count: int | None = None) -> np.ndarray:
@@ -83,21 +89,63 @@ def varint_decode(buf, count: int | None = None) -> np.ndarray:
     return vals
 
 
-def encode_positions(pos_lists: list[np.ndarray]) -> bytes:
+def ranges_to_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized concatenation of [s, s+len) ranges into one index array
+    (the gather backbone — replaces per-row Python loops)."""
+    starts = np.asarray(starts, np.int64)
+    lens = np.asarray(lens, np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    idx = np.repeat(starts, lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    return idx + within
+
+
+def position_stream_values(counts: np.ndarray, flat: np.ndarray) -> np.ndarray:
+    """Interleaved per-doc position stream [n, p0, d1, ...] as one u64
+    array — fully vectorized over (per-doc counts, flat positions)."""
+    counts = np.asarray(counts, np.int64)
+    n_docs = counts.size
+    if n_docs == 0:
+        return np.empty(0, np.uint64)
+    flat = np.asarray(flat, np.uint64)
+    total = int(counts.sum())
+    values = np.empty(total + n_docs, np.uint64)
+    out_heads = np.concatenate(([0], np.cumsum(counts + 1)[:-1]))
+    values[out_heads] = counts.astype(np.uint64)
+    mask = np.ones(total + n_docs, bool)
+    mask[out_heads] = False
+    if total:
+        deltas = flat.copy()
+        deltas[1:] = flat[1:] - flat[:-1]
+        doc_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        hs = doc_starts[counts > 0]
+        deltas[hs] = flat[hs]  # first position of each doc stays absolute
+        values[mask] = deltas
+    return values
+
+
+def encode_positions_flat(counts: np.ndarray, flat: np.ndarray) -> bytes:
     """Per doc: varint n, then delta-varint positions (first absolute)."""
+    if np.asarray(counts).size == 0:
+        return b""
+    return varint_encode(position_stream_values(counts, flat))
+
+
+def encode_positions(pos_lists: list[np.ndarray]) -> bytes:
+    """List-of-arrays convenience wrapper over encode_positions_flat."""
     if not pos_lists:
         return b""
-    # Flatten into one varint stream: [n0, d0_0, d0_1..., n1, ...]
-    chunks = []
-    for p in pos_lists:
-        p = np.asarray(p, dtype=np.uint64)
-        deltas = np.empty(p.size + 1, dtype=np.uint64)
-        deltas[0] = p.size
-        if p.size:
-            deltas[1] = p[0]
-            deltas[2:] = np.diff(p)
-        chunks.append(deltas)
-    return varint_encode(np.concatenate(chunks))
+    counts = np.asarray([len(p) for p in pos_lists], np.int64)
+    flat = (
+        np.concatenate([np.asarray(p, np.uint64) for p in pos_lists])
+        if counts.sum()
+        else np.empty(0, np.uint64)
+    )
+    return encode_positions_flat(counts, flat)
 
 
 def decode_positions(buf, n_docs: int) -> list[np.ndarray]:
@@ -131,45 +179,70 @@ def encode_postings(
     doc_ids: np.ndarray, tfs: np.ndarray, pos_lists: list[np.ndarray] | None = None
 ) -> EncodedPostings:
     """Encode one term's postings (doc_ids must be ascending, unique)."""
+    if pos_lists is None:
+        return encode_postings_flat(doc_ids, tfs, None, None)
+    counts = np.asarray([len(p) for p in pos_lists], np.int64)
+    flat = (
+        np.concatenate([np.asarray(p, np.uint64) for p in pos_lists])
+        if counts.sum()
+        else np.empty(0, np.uint64)
+    )
+    return encode_postings_flat(doc_ids, tfs, counts, flat)
+
+
+def encode_postings_flat(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    pos_counts: np.ndarray | None,
+    pos_flat: np.ndarray | None,
+) -> EncodedPostings:
+    """Encode one term's postings with positions given as (per-doc
+    counts, flat concatenated positions) — no per-doc/per-block Python.
+
+    Each block's first gap is relative to the previous block's last
+    doc_id, which for consecutive blocks equals the plain delta — so the
+    whole gap stream is ONE delta array varint-encoded in one call, and
+    per-block byte offsets come from the per-value encoded lengths. The
+    produced blobs are byte-identical to per-block encoding."""
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.float64)
     n = doc_ids.size
     n_blocks = (n + BLOCK - 1) // BLOCK
     skips = np.zeros(n_blocks, dtype=_SKIP_DTYPE)
-    doc_chunks = []
-    pos_chunks = []
-    doc_off = 0
-    pos_off = 0
-    prev_last = np.uint64(0)
-    for bi in range(n_blocks):
-        lo, hi = bi * BLOCK, min((bi + 1) * BLOCK, n)
-        ids = doc_ids[lo:hi]
-        gaps = np.empty(ids.size, dtype=np.uint64)
-        gaps[0] = ids[0] - prev_last
-        gaps[1:] = np.diff(ids)
-        blob = varint_encode(gaps)
-        doc_chunks.append(blob)
-        if pos_lists is not None:
-            pblob = encode_positions(pos_lists[lo:hi])
-        else:
-            pblob = b""
-        pos_chunks.append(pblob)
-        skips[bi] = (
-            ids[-1],
-            doc_off,
-            pos_off,
-            hi - lo,
-            float(tfs[lo:hi].max()),
-        )
-        doc_off += len(blob)
-        pos_off += len(pblob)
-        prev_last = ids[-1]
+    if n == 0:
+        return EncodedPostings(0, 0.0, b"", b"", b"", skips)
+
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = doc_ids[0]
+    gaps[1:] = np.diff(doc_ids)
+    doc_blob, doc_nb = varint_encode_with_lengths(gaps)
+    doc_byte_off = np.concatenate(([0], np.cumsum(doc_nb)))
+
+    heads = np.arange(n_blocks, dtype=np.int64) * BLOCK
+    ends = np.minimum(heads + BLOCK, n)
+
+    if pos_counts is not None:
+        pos_counts = np.asarray(pos_counts, np.int64)
+        values = position_stream_values(pos_counts, pos_flat)
+        pos_blob, pos_nb = varint_encode_with_lengths(values)
+        val_byte_off = np.concatenate(([0], np.cumsum(pos_nb)))
+        doc_val_off = np.concatenate(([0], np.cumsum(pos_counts + 1)))
+        pos_off_per_block = val_byte_off[doc_val_off[heads]]
+    else:
+        pos_blob = b""
+        pos_off_per_block = np.zeros(n_blocks, np.int64)
+
+    skips["last_doc"] = doc_ids[ends - 1]
+    skips["doc_off"] = doc_byte_off[heads]
+    skips["pos_off"] = pos_off_per_block
+    skips["n_docs"] = ends - heads
+    skips["max_tf"] = np.maximum.reduceat(tfs, heads)
     return EncodedPostings(
         df=n,
-        max_tf=float(tfs.max()) if n else 0.0,
-        doc_blob=b"".join(doc_chunks),
+        max_tf=float(tfs.max()),
+        doc_blob=doc_blob,
         tf_blob=tfs.tobytes(),
-        pos_blob=b"".join(pos_chunks),
+        pos_blob=pos_blob,
         skips=skips,
     )
 

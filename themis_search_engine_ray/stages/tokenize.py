@@ -109,8 +109,32 @@ FRAGMENT_SCHEMA = pa.schema(
 )
 
 
+def pack_conv_ids(convs: list[str]) -> bytes:
+    """Length-prefixed utf-8 packing (conv ids may contain anything)."""
+    return b"".join(
+        len(b).to_bytes(4, "little") + b for b in (c.encode() for c in convs)
+    )
+
+
+def unpack_conv_ids(blob: bytes) -> list[str]:
+    out, off, n = [], 0, len(blob)
+    while off < n:
+        ln = int.from_bytes(blob[off : off + 4], "little")
+        off += 4
+        out.append(blob[off : off + ln].decode())
+        off += ln
+    return out
+
+
 class FragmentBatcher:
-    """Turn batches into per-(term, salt) posting fragments (the combiner)."""
+    """Turn batches into per-(term, salt) posting fragments (the combiner).
+
+    With ``emit_doc_stats=True`` the same pass also emits one doc-stats
+    fragment row per salt (sentinel ``gkey = -(salt+1)``, empty term;
+    doc_ids/dl/turn/conv packed into the binary columns) so the whole
+    build is ONE read + ONE shuffle — the groupby routes doc stats to
+    their own writer groups alongside the posting groups.
+    """
 
     def __init__(
         self,
@@ -118,11 +142,13 @@ class FragmentBatcher:
         salt_bits: int = 2,
         term_parts: int = 16,
         with_positions: bool = True,
+        emit_doc_stats: bool = False,
     ):
         self.config = config
         self.salt_bits = salt_bits
         self.term_parts = term_parts
         self.with_positions = with_positions
+        self.emit_doc_stats = emit_doc_stats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch["conv_id"].to_pylist()
@@ -133,9 +159,11 @@ class FragmentBatcher:
 
         # term -> ([doc_id], [tf], [positions])
         acc: dict[str, list] = {}
+        dls = np.empty(len(texts), dtype=np.float64)
         for i, t in enumerate(texts):
             doc = analyze_doc(t if t is not None else "", self.config)
             did = int(ids[i])
+            dls[i] = doc.dl
             for stem, tf in doc.tfs.items():
                 entry = acc.get(stem)
                 if entry is None:
@@ -182,6 +210,20 @@ class FragmentBatcher:
                 else:
                     npos_b.append(b"")
                     pos_b.append(b"")
+
+        if self.emit_doc_stats:
+            batch_salts = (ids >> shift).astype(np.int64)
+            turn_arr = np.asarray(turn, dtype=np.uint32)
+            for s in np.unique(batch_salts):
+                sel = np.flatnonzero(batch_salts == s)
+                gkeys.append(-(int(s) + 1))  # sentinel: doc-stats group
+                salts.append(int(s))
+                terms.append("")
+                docs_b.append(ids[sel].tobytes())
+                tfs_b.append(dls[sel].tobytes())
+                npos_b.append(turn_arr[sel].tobytes())
+                pos_b.append(pack_conv_ids([conv[int(i)] for i in sel]))
+
         return pa.Table.from_arrays(
             [
                 pa.array(gkeys, pa.int64()),
