@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vsm_all_nostem": fulltext.vsm_all_nostem,
         "vsm_topk": fulltext.vsm_topk,
         "existential_all": fulltext.existential_all,
+        "phrase_all_nostem": fulltext.phrase_all_nostem,
+        "phrase_topk": fulltext.phrase_topk,
         "eval_metrics": _eval_metrics,
         # ---- dedup family ----
         "dedup_exact": dedup.exact_dedup,
@@ -148,6 +150,12 @@ def _queries_values() -> str:
     )
 
 
+def _phrase_values() -> str:
+    return ", ".join(
+        f"({qid}, '{q}')" for qid, q in enumerate(fulltext.PHRASE_QUERIES)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop = _stoplist_sql()
     return {
@@ -215,6 +223,40 @@ def oracle_sql() -> dict[str, str]:
             "ELSE s.num / (n.norm * qn.qn) END, 4) AS score "
             "FROM nums s JOIN norms n ON s.conv_id = n.conv_id AND s.turn_idx = n.turn_idx "
             "JOIN qnorm qn ON s.qid = qn.qid"
+        ),
+        "phrase_all_nostem": (
+            f"WITH {_TURNS_CTE}, {_TOKS_CTE}, {_counts_cte()}, {_DOCSTATS_CTE}, "
+            "tfs AS (SELECT c.conv_id, c.turn_idx, c.tok, c.c * 1.0 / d.maxc AS tf, "
+            "        CAST(d.dl AS DOUBLE) AS dl FROM counts c JOIN docstats d "
+            "        ON c.conv_id = d.conv_id AND c.turn_idx = d.turn_idx), "
+            "dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tfs GROUP BY tok), "
+            "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM turns), "
+            "avg AS (SELECT (SELECT coalesce(sum(CAST(dl AS DOUBLE)), 0) FROM docstats) / (SELECT n FROM n) AS avgdl), "
+            # doc tokens WITH positions (stopword slots preserved)
+            "toksl AS (SELECT conv_id, turn_idx, list_filter(string_split_regex("
+            "lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '') AS ts FROM turns), "
+            "dtokp AS (SELECT conv_id, turn_idx, unnest(ts) AS tok, "
+            "          generate_subscripts(ts, 1) - 1 AS pos FROM toksl), "
+            f"pq(qid, qtext) AS (VALUES {_phrase_values()}), "
+            "ql AS (SELECT qid, list_filter(string_split_regex("
+            "lower(regexp_replace(qtext, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '') AS ts FROM pq), "
+            "qtokp AS (SELECT qid, unnest(ts) AS tok, generate_subscripts(ts, 1) - 1 AS off FROM ql), "
+            f"qp AS (SELECT qid, tok, off FROM qtokp WHERE tok NOT IN ({stop})), "
+            "qn AS (SELECT qid, count(*) AS nterms FROM qp GROUP BY qid), "
+            # a doc matches iff some base position satisfies every (tok, off)
+            "bases AS (SELECT q.qid, d.conv_id, d.turn_idx, d.pos - q.off AS base, "
+            "          count(DISTINCT q.off) AS nmatch "
+            "          FROM qp q JOIN dtokp d ON d.tok = q.tok GROUP BY 1, 2, 3, 4), "
+            "matches AS (SELECT DISTINCT b.qid, b.conv_id, b.turn_idx FROM bases b "
+            "            JOIN qn ON qn.qid = b.qid AND b.nmatch = qn.nterms), "
+            "qstems AS (SELECT DISTINCT qid, tok FROM qp) "
+            "SELECT CAST(m.qid AS BIGINT) AS qid, m.conv_id, m.turn_idx, "
+            "round(sum((ln((n.n - d.df + 0.5) / (d.df + 0.5)) / ln(2)) * "
+            "(t.tf * 3.0) / (t.tf + 2.0 * (0.25 + 0.75 * (t.dl / avg.avgdl)))), 4) AS score "
+            "FROM matches m JOIN qstems q ON q.qid = m.qid "
+            "JOIN tfs t ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx AND t.tok = q.tok "
+            "JOIN dfs d ON d.tok = q.tok, n, avg "
+            "GROUP BY 1, 2, 3"
         ),
         "existential_all": (
             f"WITH {_TURNS_CTE}, {_TOKS_CTE}, "

@@ -174,6 +174,23 @@ def analyze_query(query: str, config: AnalyzerConfig = DEFAULT_CONFIG) -> list[s
     return sorted(seen)
 
 
+def analyze_phrase_query(
+    query: str, config: AnalyzerConfig = DEFAULT_CONFIG
+) -> list[tuple[str, int]]:
+    """Phrase-query analyzer: (stem, token-offset) pairs in query order.
+
+    Offsets index the normalized token stream INCLUDING stopword slots —
+    matching how document positions are recorded — so a phrase like
+    "state of the art" constrains stem('state') at p and stem('art') at
+    p+3 in the document, surviving stopword removal."""
+    out = []
+    for off, t in enumerate(tokenize(query)):
+        if config.use_stopwords and t in STOPWORDS:
+            continue
+        out.append((stem_token(t) if config.use_stemmer else t, off))
+    return out
+
+
 def analyze_query_weighted(
     query: str, config: AnalyzerConfig = DEFAULT_CONFIG
 ) -> dict[str, float]:

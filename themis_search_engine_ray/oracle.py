@@ -85,6 +85,60 @@ class ThemisOracle:
             # (OkapiBM25.java:305-309).
         return [OracleHit(conv_id=c, turn_idx=ti, score=s) for (c, ti), s in ranked]
 
+    # -------------------------------------------------------- phrase
+
+    def search_phrase(self, query: str, k: int | None = None) -> list[OracleHit]:
+        """Exact-phrase retrieval over the positional index (an extension
+        beyond the reference, whose postings carry no positions —
+        ``themis/indexer/indexes/Index.java:106-110``): a doc matches iff
+        every phrase stem occurs at its query token-offset relative to a
+        common base position (stopword slots preserved). Matching docs
+        are BM25-scored over the phrase's unique stems and ranked with
+        the canonical tie-break."""
+        from .functions.analyzer import analyze_phrase_query
+
+        terms = analyze_phrase_query(query, self.config)
+        if not terms:
+            return []
+        base_stem, base_off = terms[0]
+        plist0 = self.positions.get(base_stem)
+        if plist0 is None:
+            return []
+        matches: list[tuple[str, int]] = []
+        for key, pos0 in plist0.items():
+            bases = set(pos0)
+            ok = True
+            for stem, off in terms[1:]:
+                pos_i = self.positions.get(stem, {}).get(key)
+                if pos_i is None:
+                    ok = False
+                    break
+                delta = off - base_off
+                bases &= {p - delta for p in pos_i}
+                if not bases:
+                    ok = False
+                    break
+            if ok:
+                matches.append(key)
+        # BM25 score over the unique stems, ascending order (canonical)
+        stems = sorted({s for s, _ in terms})
+        scores: dict[tuple[str, int], float] = {}
+        for s in stems:
+            plist = self.postings.get(s)
+            if not plist:
+                continue
+            t_idf = bm25_idf(float(self.n_docs), len(plist))
+            for key in matches:
+                tf = plist.get(key)
+                if tf is not None:
+                    scores[key] = scores.get(key, 0.0) + term_score(
+                        tf, self.dl[key], self.avgdl, t_idf
+                    )
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if k is not None:
+            ranked = ranked[: min(k, len(ranked))]
+        return [OracleHit(conv_id=c, turn_idx=ti, score=s) for (c, ti), s in ranked]
+
     # ----------------------------------------------------------- VSM
 
     def doc_norms(self) -> dict[tuple[str, int], float]:

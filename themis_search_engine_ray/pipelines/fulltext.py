@@ -36,6 +36,15 @@ EVAL_QUERIES = [
     "scan filter query unknownzz",
 ]
 
+PHRASE_QUERIES = [
+    "order line",
+    "the customer query",  # leading stopword keeps its token slot
+    "scan fast table",
+    "data",
+    "value table part",
+    "zzznope phrase",  # unknown stem -> unmatchable
+]
+
 BASE_TMP = "/tmp/themis_idx_cache"
 
 
@@ -147,6 +156,45 @@ def bm25_topk(sf_dir: str, k: int = 10):
     rank-identical + bit-exact vs the Python oracle in pytest; the
     driver records a rows-only check)."""
     return _bm25(sf_dir, AnalyzerConfig(), k=k, round_to=None)
+
+
+def _phrase(sf_dir: str, cfg: AnalyzerConfig, k: int | None, round_to: int | None):
+    import pandas as pd
+
+    from ..state.searcher import LocalSearchEngine
+
+    idx = build_or_get_index(sf_dir, cfg)
+    eng = LocalSearchEngine(idx)
+    rows = []
+    for qid, q in enumerate(PHRASE_QUERIES):
+        hits = eng.search_phrase(q, k=k if k is not None else 1 << 30)
+        for rank, h in enumerate(hits):
+            rows.append(
+                (
+                    qid,
+                    rank,
+                    h.conv_id,
+                    h.turn_idx,
+                    round_half_up(h.score, round_to) if round_to else h.score,
+                )
+            )
+    df = pd.DataFrame(rows, columns=["qid", "rank", "conv_id", "turn_idx", "score"])
+    df["qid"] = df["qid"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+def phrase_all_nostem(sf_dir: str):
+    """All exact-phrase matches (positional index), stemmer off, BM25
+    scores over the phrase stems rounded to 4 (SQL-oracle-checkable)."""
+    df = _phrase(sf_dir, AnalyzerConfig(use_stemmer=False), k=None, round_to=4)
+    return df.drop(columns=["rank"])
+
+
+def phrase_topk(sf_dir: str, k: int = 10):
+    """Stemmed exact-phrase top-k (pytest-verified vs the oracle)."""
+    return _phrase(sf_dir, AnalyzerConfig(), k=k, round_to=None)
 
 
 def _ensure_norms(idx: str) -> None:

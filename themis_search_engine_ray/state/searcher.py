@@ -42,6 +42,7 @@ from ..stages.codec import (
     all_tfs,
     decode_all_docs,
     decode_doc_block,
+    decode_positions,
     decode_tf_block,
     skips_from_bytes,
 )
@@ -319,6 +320,101 @@ class ShardIndex:
             return [], [], []
         return self._rank(id_chunks, sc_chunks, k)
 
+    def _run_positions(self, ti: int, row: int) -> list:
+        """Decode a run's per-doc position lists (parallel to doc order)."""
+        tab = self.tables[ti]
+        skips = skips_from_bytes(tab["skips"][row].as_buffer())
+        pos_blob = tab["pos"][row].as_buffer()
+        out = []
+        for bi in range(len(skips)):
+            start = int(skips[bi]["pos_off"])
+            end = (
+                int(skips[bi + 1]["pos_off"])
+                if bi + 1 < len(skips)
+                else len(pos_blob)
+            )
+            out.extend(
+                decode_positions(bytes(pos_blob[start:end]), int(skips[bi]["n_docs"]))
+            )
+        return out
+
+    def phrase_topk(
+        self, stems: list[str], offsets: list[int], idfs: dict[str, float], k: int
+    ):
+        """Exact-phrase shard top-k over the positional index: intersect
+        doc sets of the phrase stems, verify token-offset alignment
+        (stopword slots preserved), BM25-score matches over the unique
+        stems (ascending accumulation — canonical), rank with tie-break.
+        Positions are decoded only for docs that survive the doc-set
+        intersection."""
+        uniq = sorted(set(stems))
+        # doc-set intersection (smallest first)
+        per_stem_ids: dict[str, np.ndarray] = {}
+        for s in uniq:
+            chunks = [
+                self._decode_run(ti, row)[0] for ti, row in self.runs.get(s, ())
+            ]
+            chunks = [c for c in chunks if c.size]
+            if not chunks:
+                return [], [], []
+            ids = np.concatenate(chunks)
+            ids.sort()  # runs from different partitions interleave
+            per_stem_ids[s] = ids
+        cand = None
+        for s in sorted(uniq, key=lambda s: per_stem_ids[s].size):
+            cand = (
+                per_stem_ids[s]
+                if cand is None
+                else np.intersect1d(cand, per_stem_ids[s], assume_unique=True)
+            )
+            if cand.size == 0:
+                return [], [], []
+
+        # positions for candidates only
+        pos_maps: dict[str, dict[int, np.ndarray]] = {s: {} for s in uniq}
+        for s in uniq:
+            pm = pos_maps[s]
+            for ti, row in self.runs.get(s, ()):
+                ids, _ = self._decode_run(ti, row)
+                mask = np.isin(ids, cand, assume_unique=True)
+                if mask.any():
+                    plists = self._run_positions(ti, row)
+                    for j in np.flatnonzero(mask):
+                        pm[int(ids[j])] = plists[j]
+
+        base_s, base_off = stems[0], offsets[0]
+        keep = []
+        for doc in cand.tolist():
+            bases = set(pos_maps[base_s][doc].tolist())
+            ok = True
+            for s, off in zip(stems[1:], offsets[1:]):
+                delta = off - base_off
+                bases &= {int(p) - delta for p in pos_maps[s][doc]}
+                if not bases:
+                    ok = False
+                    break
+            if ok:
+                keep.append(doc)
+        if not keep:
+            return [], [], []
+        keep_arr = np.asarray(keep, np.uint64)
+        keep_arr.sort()
+
+        id_chunks, sc_chunks = [], []
+        for s in uniq:  # ascending stems == oracle accumulation order
+            t_idf = idfs[s]
+            for ti, row in self.runs.get(s, ()):
+                ids, tfs = self._decode_run(ti, row)
+                mask = np.isin(ids, keep_arr, assume_unique=True)
+                if mask.any():
+                    ids_m = ids[mask]
+                    pos = np.searchsorted(self.doc_ids, ids_m)
+                    sc_chunks.append(
+                        term_score(tfs[mask], self.dl[pos], self.avgdl, t_idf)
+                    )
+                    id_chunks.append(ids_m)
+        return self._rank(id_chunks, sc_chunks, k)
+
     def score_topk_vsm(
         self, terms: list[str], idfs: list[float], qweights: list[float], qnorm: float, k: int
     ):
@@ -402,6 +498,9 @@ class ShardSearcher:
 
     def candidates_existential(self, terms, k):
         return self.shard.candidates_existential(terms, k)
+
+    def phrase_topk(self, stems, offsets, idfs, k):
+        return self.shard.phrase_topk(stems, offsets, idfs, k)
 
     def ready(self) -> bool:
         return True
@@ -505,6 +604,38 @@ class SearchEngine:
         merged.sort()
         return [Hit(c, t, 1.0) for c, t in merged[: min(k, len(merged))]]
 
+    def _phrase_query(self, query: str):
+        from ..functions.analyzer import analyze_phrase_query
+
+        terms = analyze_phrase_query(query, self.analyzer_cfg)
+        if not terms or any(not self.df.get(s) for s, _ in terms):
+            return None  # an unknown stem makes the phrase unmatchable
+        stems = [s for s, _ in terms]
+        offsets = [o for _, o in terms]
+        idfs = {
+            s: bm25_idf(float(self.n_docs), self.df[s]) for s in set(stems)
+        }
+        return stems, offsets, idfs
+
+    def search_phrase(self, query: str, k: int = 10) -> list[Hit]:
+        """Exact-phrase BM25 top-k over the positional index (salt shards
+        hold disjoint doc ranges, so each shard's phrase match is
+        complete; merge is the same top-k reduce)."""
+        import ray
+
+        pq = self._phrase_query(query)
+        if pq is None:
+            return []
+        stems, offsets, idfs = pq
+        parts = ray.get(
+            [a.phrase_topk.remote(stems, offsets, idfs, k) for a in self.actors]
+        )
+        merged: list[Hit] = []
+        for conv, turn, score in parts:
+            merged.extend(Hit(c, int(t), float(s)) for c, t, s in zip(conv, turn, score))
+        merged.sort(key=lambda h: (-h.score, h.conv_id, h.turn_idx))
+        return merged[: min(k, len(merged))]
+
     def close(self) -> None:
         import ray
 
@@ -554,3 +685,11 @@ class LocalSearchEngine:
             return []
         conv, turn = self.shard.candidates_existential(terms, k)
         return [Hit(c, int(t), 1.0) for c, t in zip(conv, turn)]
+
+    def search_phrase(self, query: str, k: int = 10) -> list[Hit]:
+        pq = SearchEngine._phrase_query(self, query)
+        if pq is None:
+            return []
+        stems, offsets, idfs = pq
+        conv, turn, score = self.shard.phrase_topk(stems, offsets, idfs, k)
+        return [Hit(c, int(t), float(s)) for c, t, s in zip(conv, turn, score)]
