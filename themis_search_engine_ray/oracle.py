@@ -67,7 +67,13 @@ class ThemisOracle:
     def df(self, stem: str) -> int:
         return len(self.postings.get(stem, ()))
 
-    def search(self, query: str, k: int | None = None) -> list[OracleHit]:
+    def search(
+        self, query: str, k: int | None = None, abs_scores: bool = False
+    ) -> list[OracleHit]:
+        """``abs_scores=True`` replicates the reference's *no-topk* BM25
+        path, which wraps the accumulated score in ``Math.abs``
+        (OkapiBM25.java:167 — flips negative-idf docs; K5 quirk). The
+        canonical top-k path (default) does not."""
         terms = analyze_query(query, self.config)
         scores: dict[tuple[str, int], float] = {}
         for t in terms:  # ascending stem order == engine accumulation order
@@ -78,6 +84,8 @@ class ThemisOracle:
             for key, tf in plist.items():
                 part = term_score(tf, self.dl[key], self.avgdl, t_idf)
                 scores[key] = scores.get(key, 0.0) + part
+        if abs_scores:
+            scores = {key: abs(s) for key, s in scores.items()}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
         if k is not None:
             ranked = ranked[: min(k, len(ranked))]  # min() guard replaces the

@@ -151,6 +151,14 @@ def bm25_all_nostem(sf_dir: str):
     return df.drop(columns=["rank"])
 
 
+def bm25_all_abs_nostem(sf_dir: str):
+    """The reference's *no-topk* BM25 variant: |score| of the accumulated
+    sum (OkapiBM25.java:167, K5 quirk), stemmer off, rounded to 4."""
+    df = _bm25(sf_dir, AnalyzerConfig(use_stemmer=False), k=None, round_to=None)
+    df["score"] = df["score"].abs().map(lambda s: round_half_up(s, 4))
+    return df.drop(columns=["rank"])
+
+
 def bm25_topk(sf_dir: str, k: int = 10):
     """Canonical engine output: stemmed BM25 top-k with ranks (verified
     rank-identical + bit-exact vs the Python oracle in pytest; the
