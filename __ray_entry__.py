@@ -22,7 +22,7 @@ from collections.abc import Callable
 from typing import Any
 
 from themis_search_engine_ray.functions.analyzer import STOPWORDS
-from themis_search_engine_ray.pipelines import dedup, fulltext, multimodal, similarity
+from themis_search_engine_ray.pipelines import dedup, fulltext, multimodal, similarity, windows
 from themis_search_engine_ray.pipelines import text_analysis as ta
 from themis_search_engine_ray.sources.transcripts import derive_sql_cte
 
@@ -64,6 +64,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": lambda sf: ta.fingerprints(sf).map_batches(
             _fp_scalars, batch_format="pyarrow"
         ),
+        # ---- windowed aggregates over the events table ----
+        "tumbling_counts": lambda sf: windows.tumbling_counts(sf).map_batches(
+            _round_cols(["sum_value", "avg_value"]), batch_format="pyarrow"
+        ),
+        "sliding_counts": lambda sf: windows.sliding_counts(sf).map_batches(
+            _round_cols(["sum_value"]), batch_format="pyarrow"
+        ),
+        "sessionize": lambda sf: windows.sessionize(sf).map_batches(
+            _round_cols(["sum_value"]), batch_format="pyarrow"
+        ),
         # ---- multimodal (stub codecs, real plumbing) ----
         "media_features": lambda sf: multimodal.media_features(sf).select_columns(
             ["media_id", "media_type", "height", "width", "n_frames"]
@@ -100,6 +110,30 @@ def _eval_metrics(sf_dir: str):
         )
     res = evaluate(idx, judged, model="bm25", k=10, concurrency=2)
     return pd.DataFrame(res["per_query"])
+
+
+def _round_cols(cols):
+    """Round float columns to 6 decimals so engine/SQL float sums (whose
+    accumulation orders differ) compare value-exactly."""
+
+    def fn(batch):
+        import pyarrow as pa
+
+        from themis_search_engine_ray.functions.rounding import round_half_up
+
+        arrays, names = [], []
+        for name in batch.column_names:
+            col = batch[name]
+            if name in cols:
+                col = pa.array(
+                    [None if v is None else round_half_up(v, 6) for v in col.to_pylist()],
+                    pa.float64(),
+                )
+            arrays.append(col)
+            names.append(name)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return fn
 
 
 def _fp_scalars(batch):
@@ -288,6 +322,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT CAST(q.qid AS BIGINT) AS qid, d.conv_id, d.turn_idx, "
             "CAST(1.0 AS DOUBLE) AS score "
             "FROM qterms q JOIN dtoks d ON d.tok = q.tok"
+        ),
+        "tumbling_counts": (
+            "SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS window_start, "
+            "event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sliding_counts": (
+            "SELECT (CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - t.i) * 900 AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value "
+            "FROM events, range(4) t(i) "
+            "WHERE (CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - t.i) >= 0 "
+            "GROUP BY 1"
+        ),
+        "sessionize": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events), "
+            "flags AS (SELECT user_id, tus, value, "
+            "CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL "
+            "OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000 "
+            "THEN 1 ELSE 0 END AS is_new FROM e), "
+            "sids AS (SELECT user_id, tus, value, "
+            "sum(is_new) OVER (PARTITION BY user_id ORDER BY tus "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS sid FROM flags) "
+            "SELECT user_id, CAST(sid AS BIGINT) AS session_idx, "
+            "CAST(min(tus) // 1000000 AS BIGINT) AS session_start, "
+            "CAST(max(tus) // 1000000 AS BIGINT) AS session_end, "
+            "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value "
+            "FROM sids GROUP BY 1, 2"
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, md5(text) AS text_hash "

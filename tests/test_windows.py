@@ -1,0 +1,73 @@
+"""Windowed-aggregate edge semantics on a hand-built events table
+(driver value-correctness vs DuckDB is covered by oracle_sql)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from themis_search_engine_ray.pipelines.windows import (
+    sessionize,
+    sliding_counts,
+    tumbling_counts,
+)
+
+US = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def events_dir(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("win")
+    rows = [
+        # user 1: two events 1800s apart exactly (== gap -> SAME session),
+        # then one 1801s later (> gap -> new session)
+        (0, 1_000 * US, 1, "view", 1.0),
+        (1, 2_800 * US, 1, "view", 2.0),
+        (2, 4_601 * US, 1, "click", 4.0),
+        # user 2: single event; window boundary at exactly 3600s
+        (3, 3_600 * US, 2, "view", 8.0),
+        (4, 3_599 * US, 2, "view", 16.0),
+    ]
+    tab = pa.Table.from_pydict(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tab, str(tmp / "events.parquet"))
+    return str(tmp)
+
+
+def test_tumbling_boundary(events_dir):
+    out = tumbling_counts(events_dir, width_s=3600).to_pandas()
+    by_win = out.groupby("window_start")["n_events"].sum().to_dict()
+    # ts=3600s falls in the SECOND window [3600, 7200)
+    assert by_win == {0: 3, 3600: 2}
+
+
+def test_sliding_coverage(events_dir):
+    out = sliding_counts(events_dir, width_s=3600, slide_s=900).to_pandas()
+    cov = dict(zip(out["window_start"], out["n_events"]))
+    # event at 1000s is covered by windows starting 0 and 900 (not -900
+    # or earlier: clipped at epoch; 1800/2700 start after it)
+    assert cov[0] >= 1 and cov[900] >= 1
+    assert all(ws >= 0 for ws in cov)
+    # each event appears in at most width/slide = 4 windows
+    assert out["n_events"].sum() <= 5 * 4
+
+
+def test_sessionize_gap_semantics(events_dir):
+    out = sessionize(events_dir, gap_s=1800).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_idx")
+    # exactly-at-gap stays together; strictly-greater splits
+    assert len(u1) == 2
+    assert u1.iloc[0]["n_events"] == 2 and u1.iloc[0]["session_start"] == 1000
+    assert u1.iloc[0]["session_end"] == 2800
+    assert u1.iloc[1]["n_events"] == 1 and u1.iloc[1]["session_start"] == 4601
+    u2 = out[out["user_id"] == 2]
+    assert len(u2) == 1 and int(u2.iloc[0]["n_events"]) == 2
+    np.testing.assert_allclose(u2.iloc[0]["sum_value"], 24.0)
