@@ -120,6 +120,7 @@ def run_bench(build_only: bool = False) -> dict:
         queries.append(" ".join(vocab[(i * 37 + j * 101) % len(vocab)] for j in range(3)))
     t0 = time.time()
     eng = SearchEngine(idx_dir)
+    eng.search(queries[0], k=10)  # warm actor code paths (load-time, not latency)
     timings["engine_load"] = time.time() - t0
     lat = []
     t0 = time.time()
@@ -155,8 +156,12 @@ def run_bench(build_only: bool = False) -> dict:
 
     t0 = time.time()
     # materialize: minhash_pairs_ds executes its input more than once and
-    # an unordered limit() is nondeterministic across executions
-    docs_sample = as_docs(min(n_turns, 30_000)).materialize()
+    # an unordered limit() is nondeterministic across executions.
+    # repartition: limit() collapses to ~1 block, which would serialize
+    # the signature map — split so every core gets work.
+    docs_sample = (
+        as_docs(min(n_turns, 30_000)).repartition(num_cpus * 2).materialize()
+    )
     n_pairs = minhash_pairs_ds(docs_sample, verify="scan").count()
     timings["minhash_dedup_30k"] = time.time() - t0
 

@@ -213,25 +213,29 @@ def minhash_pairs_ds(
         ds = ds.select_columns([id_col, text_col]).rename_columns(["doc_id", "text"])
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        dids, bands, buckets = [], [], []
-        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sh = np.array([_hash64(s) for s in _shingles(t, k)], dtype=np.uint64)
-            sig = minhash_signature(sh)
-            for bi in range(_BANDS):
-                chunk = sig[bi * _ROWS_PER_BAND : (bi + 1) * _ROWS_PER_BAND]
-                bucket = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
-                )
-                dids.append(did)
-                bands.append(bi)
-                buckets.append(bucket - (1 << 63))
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(dids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "bucket": pa.array(buckets, pa.int64()),
-            }
-        )
+        """One row per (doc, band) carrying the band's signature chunk as
+        compound int64 key columns — bucket membership is exact chunk
+        equality via the multi-key groupby, no re-hashing (and no hash
+        collisions adding spurious candidates)."""
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        sigs = np.empty((n, _N_PERM), np.uint64)
+        for i, t in enumerate(texts):
+            sh_set = _shingles(t, k)
+            sh = np.fromiter((_hash64(s) for s in sh_set), np.uint64, len(sh_set))
+            sigs[i] = minhash_signature(sh)
+        chunks = sigs.reshape(n, _BANDS, _ROWS_PER_BAND)
+        arrays = {
+            "doc_id": pa.array(np.repeat(batch["doc_id"].to_numpy(), _BANDS)),
+            "band": pa.array(
+                np.tile(np.arange(_BANDS, dtype=np.int32), n), pa.int32()
+            ),
+        }
+        for r in range(_ROWS_PER_BAND):
+            arrays[f"sig{r}"] = pa.array(
+                chunks[:, :, r].reshape(-1).view(np.int64), pa.int64()
+            )
+        return pa.Table.from_pydict(arrays)
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         ids = np.sort(np.unique(np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)))
@@ -242,9 +246,10 @@ def minhash_pairs_ds(
         ai, bi = np.triu_indices(ids.size, k=1)
         return pa.Table.from_pydict({"a": ids[ai], "b": ids[bi]})
 
+    sig_keys = [f"sig{r}" for r in range(_ROWS_PER_BAND)]
     candidates = (
         ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "bucket"])
+        .groupby(["band", *sig_keys])
         .map_groups(emit_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
         .count()  # dedupe candidate pairs across bands
