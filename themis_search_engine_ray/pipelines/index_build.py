@@ -294,6 +294,186 @@ def load_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+def compact_index(index_dir: str) -> str:
+    """Merge per-partition posting runs into one segment per gkey.
+
+    A build with P checkpoint partitions leaves every term with up to P
+    runs per shard; query-time decode cost then scales with P (the
+    reference's ``fastmerge`` solved the same problem for its partial
+    indexes — ``themis/indexer/Indexer.java:776-902``). Compaction is a
+    Ray pipeline over gkey groups: each task reads that gkey's segment
+    files from every partition, merge-sorts each term's doc-sorted runs
+    (concatenate + argsort — runs overlap in doc range because input
+    partitions split by file, not by doc), re-encodes, and atomically
+    writes ``compacted/segments/seg-<gkey>.parquet``. Doc stats are
+    hard-linked/copied per salt. Idempotent; derived data only — the
+    partition manifests remain the source of truth for resume.
+    ``ShardIndex`` prefers the compacted layout when present.
+    """
+    import shutil
+
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ..stages.codec import (
+        all_tfs,
+        decode_all_docs,
+        decode_positions,
+        encode_postings_flat,
+        ranges_to_indices,
+        skips_from_bytes,
+        skips_to_bytes,
+    )
+    from ..stages.encode import SEGMENT_SCHEMA
+
+    meta = load_meta(index_dir)
+    with_pos = bool(meta.get("with_positions", True))
+    part_root = os.path.join(index_dir, "partitions")
+    files_by_gkey: dict[int, list[str]] = {}
+    ds_dirs: list[str] = []
+    for pdir in sorted(os.listdir(part_root)):
+        seg_dir = os.path.join(part_root, pdir, "segments")
+        if os.path.isdir(seg_dir):
+            for fname in sorted(os.listdir(seg_dir)):
+                if fname.endswith(".parquet"):
+                    gkey = int(fname[4:-8])
+                    files_by_gkey.setdefault(gkey, []).append(
+                        os.path.join(seg_dir, fname)
+                    )
+        dsd = os.path.join(part_root, pdir, "doc_stats")
+        if os.path.isdir(dsd):
+            ds_dirs.append(dsd)
+
+    out_root = os.path.join(index_dir, "compacted")
+    tmp_root = out_root + ".tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    out_seg = os.path.join(tmp_root, "segments")
+    os.makedirs(out_seg, exist_ok=True)
+
+    def compact_group(batch: dict) -> "pa.Table":
+        import pyarrow as pa
+
+        out_rows = []
+        for gkey, files in zip(batch["gkey"], batch["files"]):
+            gkey = int(gkey)
+            tabs = [pq.read_table(f) for f in files]
+            # term -> list of (tab_idx, row)
+            runs: dict[str, list[tuple[int, int]]] = {}
+            salt = None
+            for ti, tab in enumerate(tabs):
+                salt = int(tab["salt"][0].as_py()) if tab.num_rows else salt
+                for row, term in enumerate(tab["term"].to_pylist()):
+                    runs.setdefault(term, []).append((ti, row))
+            o_terms, o_df, o_maxtf, o_docs, o_tfs, o_pos, o_skips = (
+                [], [], [], [], [], [], []
+            )
+            n_postings = 0
+            for term in sorted(runs):
+                ids_c, tfs_c, cnt_c, flat_c = [], [], [], []
+                for ti, row in runs[term]:
+                    tab = tabs[ti]
+                    skips = skips_from_bytes(tab["skips"][row].as_buffer())
+                    ids = decode_all_docs(tab["docs"][row].as_buffer(), skips)
+                    ids_c.append(ids)
+                    tfs_c.append(all_tfs(tab["tfs"][row].as_buffer()))
+                    if with_pos:
+                        pos_blob = tab["pos"][row].as_buffer()
+                        plists = decode_positions(bytes(pos_blob), int(ids.size))
+                        cnt_c.append(
+                            np.asarray([p.size for p in plists], np.int64)
+                        )
+                        flat_c.append(
+                            np.concatenate(plists)
+                            if plists and sum(p.size for p in plists)
+                            else np.empty(0, np.int64)
+                        )
+                ids = np.concatenate(ids_c)
+                tfs = np.concatenate(tfs_c)
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                tfs = tfs[order]
+                if with_pos:
+                    counts = np.concatenate(cnt_c)
+                    flat = np.concatenate(flat_c) if counts.sum() else np.empty(0, np.int64)
+                    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                    fcounts = counts[order]
+                    fflat = flat[ranges_to_indices(starts[order], fcounts)]
+                    enc = encode_postings_flat(ids, tfs, fcounts, fflat)
+                else:
+                    enc = encode_postings_flat(ids, tfs, None, None)
+                o_terms.append(term)
+                o_df.append(enc.df)
+                o_maxtf.append(enc.max_tf)
+                o_docs.append(enc.doc_blob)
+                o_tfs.append(enc.tf_blob)
+                o_pos.append(enc.pos_blob)
+                o_skips.append(skips_to_bytes(enc.skips))
+                n_postings += enc.df
+            seg = pa.Table.from_arrays(
+                [
+                    pa.array(o_terms, pa.string()),
+                    pa.array([salt] * len(o_terms), pa.int32()),
+                    pa.array(o_df, pa.int64()),
+                    pa.array(o_maxtf, pa.float64()),
+                    pa.array(o_docs, pa.large_binary()),
+                    pa.array(o_tfs, pa.large_binary()),
+                    pa.array(o_pos, pa.large_binary()),
+                    pa.array(o_skips, pa.large_binary()),
+                ],
+                schema=SEGMENT_SCHEMA,
+            )
+            fpath = os.path.join(out_seg, f"seg-{gkey:08d}.parquet")
+            pq.write_table(seg, fpath + ".tmp", compression="NONE")
+            os.replace(fpath + ".tmp", fpath)
+            out_rows.append(
+                {"gkey": gkey, "n_terms": len(o_terms), "n_postings": n_postings}
+            )
+        return pa.Table.from_pylist(
+            out_rows
+            or [{"gkey": -1, "n_terms": 0, "n_postings": 0}]
+        )
+
+    items = [{"gkey": g, "files": f} for g, f in sorted(files_by_gkey.items())]
+    stats = (
+        rd.from_items(items)
+        .map_batches(compact_group, batch_size=1)
+        .to_pandas()
+    )
+
+    # doc stats: one merged file per salt under compacted/doc_stats
+    out_ds = os.path.join(tmp_root, "doc_stats")
+    salts = set()
+    for dsd in ds_dirs:
+        for sdir in os.listdir(dsd):
+            if sdir.startswith("salt="):
+                salts.add(sdir)
+    import pyarrow as pa
+
+    for sdir in sorted(salts):
+        frames = [
+            pads.dataset(os.path.join(dsd, sdir), format="parquet").to_table()
+            for dsd in ds_dirs
+            if os.path.isdir(os.path.join(dsd, sdir))
+        ]
+        tab = pa.concat_tables(frames)
+        odir = os.path.join(out_ds, sdir)
+        os.makedirs(odir, exist_ok=True)
+        pq.write_table(tab, os.path.join(odir, "docstats.parquet"))
+
+    _atomic_write_json(
+        os.path.join(tmp_root, "compaction.json"),
+        {
+            "n_groups": int(len(stats)),
+            "n_postings": int(stats["n_postings"].sum()),
+            "source_partitions": len(ds_dirs),
+        },
+    )
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.replace(tmp_root, out_root)
+    return out_root
+
+
 def build_norms(index_dir: str) -> str:
     """VSM doc-norm pass (A4) as a Ray pipeline; idempotent.
 

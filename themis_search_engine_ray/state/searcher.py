@@ -66,11 +66,27 @@ class ShardIndex:
         term_parts = int(meta["term_parts"])
         want = set(self.salts)
 
+        # segment discovery: prefer the compacted layout (one merged
+        # segment per gkey — see index_build.compact_index) over the raw
+        # per-partition runs
+        compacted = os.path.join(index_dir, "compacted")
+        part_root = os.path.join(index_dir, "partitions")
+        if os.path.isdir(os.path.join(compacted, "segments")):
+            seg_dirs = [os.path.join(compacted, "segments")]
+            ds_roots = [os.path.join(compacted, "doc_stats")]
+        else:
+            seg_dirs = [
+                os.path.join(part_root, p, "segments")
+                for p in sorted(os.listdir(part_root))
+            ]
+            ds_roots = [
+                os.path.join(part_root, p, "doc_stats")
+                for p in sorted(os.listdir(part_root))
+            ]
+
         self.tables = []
         self.runs: dict[str, list[tuple[int, int]]] = {}
-        part_root = os.path.join(index_dir, "partitions")
-        for pdir in sorted(os.listdir(part_root)):
-            seg_dir = os.path.join(part_root, pdir, "segments")
+        for seg_dir in seg_dirs:
             if not os.path.isdir(seg_dir):
                 continue
             for fname in sorted(os.listdir(seg_dir)):
@@ -89,8 +105,7 @@ class ShardIndex:
 
         # doc_stats for these salt ranges, sorted by doc_id
         frames = []
-        for pdir in sorted(os.listdir(part_root)):
-            ds_dir = os.path.join(part_root, pdir, "doc_stats")
+        for ds_dir in ds_roots:
             if not os.path.isdir(ds_dir):
                 continue
             for s in self.salts:

@@ -33,6 +33,11 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=2048)
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--norms", action="store_true", help="also build VSM doc norms")
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="merge per-partition posting runs into one segment per gkey",
+    )
     ap.add_argument("--num-cpus", type=int, default=None, help="standalone-mode cpus")
     args = ap.parse_args()
 
@@ -48,6 +53,7 @@ def main() -> None:
         BuildConfig,
         build_index,
         build_norms,
+        compact_index,
     )
 
     cfg = BuildConfig(
@@ -61,6 +67,8 @@ def main() -> None:
     meta = build_index(args.input, args.out, cfg)
     if args.norms:
         build_norms(args.out)
+    if args.compact:
+        compact_index(args.out)
     meta["wall_seconds"] = round(time.time() - t0, 3)
     print(json.dumps(meta))
 
