@@ -134,6 +134,31 @@ def run_bench(build_only: bool = False) -> dict:
     p50 = lat[len(lat) // 2] * 1000
     p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1000
 
+    # --- batch query throughput (actor-pool QueryScorer over the index) ---
+    import ray.data as _rd
+
+    from themis_search_engine_ray.pipelines.evaluation import QueryScorer
+
+    n_batch_q = 2000
+    batch_qs = [
+        {"qid": i, "query": " ".join(vocab[(i * 13 + j * 57) % len(vocab)] for j in range(3))}
+        for i in range(n_batch_q)
+    ]
+    conc = min(16, max(2, num_cpus // 2))
+    t0 = time.time()
+    n_scored = (
+        _rd.from_items(batch_qs, override_num_blocks=conc * 2)
+        .map_batches(
+            QueryScorer,
+            fn_constructor_kwargs={"index_dir": idx_dir, "model": "bm25", "k": 10},
+            concurrency=conc,
+            batch_size=max(1, n_batch_q // (conc * 2)),
+        )
+        .count()
+    )
+    timings["batch_queries_2000"] = time.time() - t0
+    batch_qps = n_scored / timings["batch_queries_2000"]
+
     # --- scaled dedup (MinHash LSH with distributed join verify) ---
     def as_docs(n_limit: int):
         import pyarrow as pa
@@ -209,6 +234,7 @@ def run_bench(build_only: bool = False) -> dict:
         "build_turns_per_sec": round(build_rate, 1),
         "query_p50_ms": round(p50, 2),
         "query_p99_ms": round(p99, 2),
+        "batch_queries_per_sec": round(batch_qps, 1),
         "minhash_pairs": int(n_pairs),
         "distinct_terms": int(n_terms),
     }
