@@ -136,6 +136,11 @@ class ShardIndex:
         self.dl_min = float(self.dl.min()) if self.dl.size else 0.0
         # stats of the last pruned query (observability + tests)
         self.last_prune_stats: dict = {}
+        # decoded-run LRU (see _decode_run)
+        from collections import OrderedDict
+
+        self._run_cache: OrderedDict = OrderedDict()
+        self._cache_bytes = 0
 
         # VSM doc norms (optional: present after build_norms ran),
         # aligned to self.doc_ids
@@ -165,51 +170,109 @@ class ShardIndex:
             int(self.tables[ti]["df"][row].as_py()) for ti, row in self.runs.get(term, [])
         )
 
-    def _decode_run(self, ti: int, row: int):
+    # decoded-postings cache budget (bytes of ids+tfs kept hot); hot
+    # terms dominate query mixes, so caching their decoded runs removes
+    # the varint decode from the steady-state path (the mmap'd encoded
+    # blobs stay the backing store — same pattern as a block cache)
+    CACHE_BYTES = 256 << 20
+
+    def _run_entry(self, ti: int, row: int):
+        """Cached decoded run: (ids, tfs, f) where
+        ``f = tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` is the
+        query-independent BM25 factor — per-query scoring is then just
+        ``idf × f`` (the identical float op order as term_score, so
+        scores stay bit-equal)."""
+        key = (ti, row)
+        cached = self._run_cache.get(key)
+        if cached is not None:
+            self._run_cache.move_to_end(key)
+            return cached
         tab = self.tables[ti]
         skips = skips_from_bytes(tab["skips"][row].as_buffer())
         ids = decode_all_docs(tab["docs"][row].as_buffer(), skips)
         tfs = all_tfs(tab["tfs"][row].as_buffer())
+        if ids.size:
+            dl = self.dl[np.searchsorted(self.doc_ids, ids)]
+            f = term_score(tfs, dl, self.avgdl, 1.0)
+        else:
+            f = np.empty(0, np.float64)
+        entry = (ids, tfs, f)
+        nbytes = ids.nbytes + tfs.nbytes + f.nbytes
+        if nbytes <= self.CACHE_BYTES:
+            self._run_cache[key] = entry
+            self._cache_bytes += nbytes
+            while self._cache_bytes > self.CACHE_BYTES and self._run_cache:
+                _, (oi, ot, of) = self._run_cache.popitem(last=False)
+                self._cache_bytes -= oi.nbytes + ot.nbytes + of.nbytes
+        return entry
+
+    def _decode_run(self, ti: int, row: int):
+        ids, tfs, _ = self._run_entry(ti, row)
         return ids, tfs
 
     def _eval_run(self, ti: int, row: int, t_idf: float):
-        """Fully decode one posting run and compute its contributions."""
-        ids, tfs = self._decode_run(ti, row)
+        """Contributions of one run: idf × cached query-independent
+        factor (bit-equal to term_score — see _run_entry)."""
+        ids, _, f = self._run_entry(ti, row)
         if ids.size == 0:
             return None
-        pos = np.searchsorted(self.doc_ids, ids)
-        return ids, term_score(tfs, self.dl[pos], self.avgdl, t_idf)
+        return ids, t_idf * f
+
+    @staticmethod
+    def _member_mask(sorted_vals: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+        """Membership of ascending ``sorted_vals`` in ascending unique
+        ``sorted_set`` via binary search (cheaper than np.isin)."""
+        if sorted_set.size == 0 or sorted_vals.size == 0:
+            return np.zeros(sorted_vals.size, bool)
+        pos = np.searchsorted(sorted_set, sorted_vals)
+        np.minimum(pos, sorted_set.size - 1, out=pos)
+        return sorted_set[pos] == sorted_vals
 
     def _probe_run(self, ti: int, row: int, t_idf: float, cands: np.ndarray):
-        """Block-max probe: decode ONLY the blocks that may contain a
-        candidate doc (skip-entry binary search), return contributions
-        for the candidates present. ``cands`` must be sorted+unique."""
+        """Probe a non-essential term's run at candidate docs only.
+
+        If the run is already in the decoded-run cache, or candidates
+        touch most of its blocks, mask the (cached) full decode — one
+        vectorized membership pass. Otherwise decode ONLY the blocks
+        that may contain a candidate (skip-entry binary search) — the
+        block-max skip path that avoids materializing cold hot-term
+        runs. ``cands`` must be sorted+unique. Both paths produce
+        bit-identical contributions (idf × the same factor values)."""
         tab = self.tables[ti]
         skips = skips_from_bytes(tab["skips"][row].as_buffer())
         if skips.size == 0 or cands.size == 0:
             return None, 0, int(skips.size)
-        last = skips["last_doc"]
-        bi = np.searchsorted(last, cands)  # block that could hold each cand
-        need = np.unique(bi[bi < last.size])
-        if need.size == 0:
-            return None, 0, int(skips.size)
-        doc_blob = tab["docs"][row].as_buffer()
-        tf_blob = tab["tfs"][row].as_buffer()
-        ids_out, tf_out = [], []
-        for b in need:
-            b = int(b)
-            ids_b = decode_doc_block(doc_blob, skips, b)
-            hit = np.isin(ids_b, cands, assume_unique=True)
-            if hit.any():
-                ids_out.append(ids_b[hit])
-                tf_out.append(decode_tf_block(tf_blob, skips, b)[hit])
-        if not ids_out:
-            return None, int(need.size), int(skips.size)
-        ids = np.concatenate(ids_out)
-        tfs = np.concatenate(tf_out)
-        pos = np.searchsorted(self.doc_ids, ids)
-        contrib = term_score(tfs, self.dl[pos], self.avgdl, t_idf)
-        return (ids, contrib), int(need.size), int(skips.size)
+        total_blocks = int(skips.size)
+        if (ti, row) not in self._run_cache:
+            last = skips["last_doc"]
+            bi = np.searchsorted(last, cands)  # block that could hold each cand
+            need = np.unique(bi[bi < last.size])
+            if need.size == 0:
+                return None, 0, total_blocks
+            if 4 * need.size < total_blocks:  # sparse: per-block decode
+                doc_blob = tab["docs"][row].as_buffer()
+                tf_blob = tab["tfs"][row].as_buffer()
+                ids_out, tf_out = [], []
+                for b in need:
+                    b = int(b)
+                    ids_b = decode_doc_block(doc_blob, skips, b)
+                    hit = self._member_mask(ids_b, cands)
+                    if hit.any():
+                        ids_out.append(ids_b[hit])
+                        tf_out.append(decode_tf_block(tf_blob, skips, b)[hit])
+                if not ids_out:
+                    return None, int(need.size), total_blocks
+                ids = np.concatenate(ids_out)
+                tfs = np.concatenate(tf_out)
+                pos = np.searchsorted(self.doc_ids, ids)
+                contrib = term_score(tfs, self.dl[pos], self.avgdl, t_idf)
+                return (ids, contrib), int(need.size), total_blocks
+        # dense or cached: full decode (through the cache), one mask
+        ids, _, f = self._run_entry(ti, row)
+        hit = self._member_mask(ids, cands)
+        if not hit.any():
+            return None, total_blocks, total_blocks
+        return (ids[hit], t_idf * f[hit]), total_blocks, total_blocks
 
     def _rank(self, id_chunks, sc_chunks, k: int):
         """Accumulate per-term contribution chunks (already in ascending
@@ -391,7 +454,7 @@ class ShardIndex:
             pm = pos_maps[s]
             for ti, row in self.runs.get(s, ()):
                 ids, _ = self._decode_run(ti, row)
-                mask = np.isin(ids, cand, assume_unique=True)
+                mask = self._member_mask(ids, cand)
                 if mask.any():
                     plists = self._run_positions(ti, row)
                     for j in np.flatnonzero(mask):
@@ -419,15 +482,11 @@ class ShardIndex:
         for s in uniq:  # ascending stems == oracle accumulation order
             t_idf = idfs[s]
             for ti, row in self.runs.get(s, ()):
-                ids, tfs = self._decode_run(ti, row)
-                mask = np.isin(ids, keep_arr, assume_unique=True)
+                ids, _, f = self._run_entry(ti, row)
+                mask = self._member_mask(ids, keep_arr)
                 if mask.any():
-                    ids_m = ids[mask]
-                    pos = np.searchsorted(self.doc_ids, ids_m)
-                    sc_chunks.append(
-                        term_score(tfs[mask], self.dl[pos], self.avgdl, t_idf)
-                    )
-                    id_chunks.append(ids_m)
+                    id_chunks.append(ids[mask])
+                    sc_chunks.append(t_idf * f[mask])
         return self._rank(id_chunks, sc_chunks, k)
 
     def score_topk_vsm(
