@@ -96,6 +96,30 @@ def test_pruning_engages_on_skew(skewed):
     assert engaged, "MaxScore never engaged on a skewed corpus"
 
 
+def test_cold_sparse_probe_path(skewed):
+    """With an empty run cache and few candidates, the probe must take
+    the per-block skip-decode branch (probed_blocks < total) and still
+    match the full evaluation bit-for-bit."""
+    idx, oracle = skewed
+    eng = LocalSearchEngine(idx)
+    q = "beta rare003"
+    full = eng.search(q, k=3, prune=False)
+    eng.shard._run_cache.clear()
+    eng.shard._cache_bytes = 0
+    pruned = eng.search(q, k=3, prune=True)
+    st = eng.shard.last_prune_stats
+    assert [(h.conv_id, h.turn_idx, h.score) for h in pruned] == [
+        (h.conv_id, h.turn_idx, h.score) for h in full
+    ]
+    if st.get("pruned") and st["non_essential_terms"]:
+        assert st["probed_blocks"] <= st["non_essential_blocks_total"]
+    # warm second run (cache hit) must be identical too
+    again = eng.search(q, k=3, prune=True)
+    assert [(h.conv_id, h.turn_idx, h.score) for h in again] == [
+        (h.conv_id, h.turn_idx, h.score) for h in full
+    ]
+
+
 def test_negative_idf_falls_back_and_matches(skewed):
     """df > N/2 terms (negative idf) disable pruning but stay exact."""
     idx, oracle = skewed
