@@ -48,8 +48,13 @@ PHRASE_QUERIES = [
 BASE_TMP = "/tmp/themis_idx_cache"
 
 
+_LAYOUT_VERSION = 2  # bump when the on-disk index layout changes
+
+
 def _index_dir(sf_dir: str, cfg: AnalyzerConfig) -> str:
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{cfg.fingerprint}".encode()).hexdigest()[:16]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{cfg.fingerprint}|v{_LAYOUT_VERSION}".encode()
+    ).hexdigest()[:16]
     return os.path.join(BASE_TMP, key)
 
 
