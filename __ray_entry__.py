@@ -22,7 +22,14 @@ from collections.abc import Callable
 from typing import Any
 
 from themis_search_engine_ray.functions.analyzer import STOPWORDS
-from themis_search_engine_ray.pipelines import dedup, fulltext, multimodal, similarity, windows
+from themis_search_engine_ray.pipelines import (
+    dedup,
+    fulltext,
+    multimodal,
+    similarity,
+    sketches,
+    windows,
+)
 from themis_search_engine_ray.pipelines import text_analysis as ta
 from themis_search_engine_ray.sources.transcripts import derive_sql_cte
 
@@ -64,6 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": lambda sf: ta.fingerprints(sf).map_batches(
             _fp_scalars, batch_format="pyarrow"
         ),
+        # ---- heavy-hitters (exact + Misra-Gries sketch) ----
+        "topk_terms_exact": sketches.topk_terms_exact,
+        "topk_terms_sketch": sketches.topk_terms_sketch,
         # ---- windowed aggregates over the events table ----
         "tumbling_counts": lambda sf: windows.tumbling_counts(sf).map_batches(
             _round_cols(["sum_value", "avg_value"]), batch_format="pyarrow"
@@ -323,6 +333,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1.0 AS DOUBLE) AS score "
             "FROM qterms q JOIN dtoks d ON d.tok = q.tok"
         ),
+        "topk_terms_exact": (
+            "WITH toks AS (SELECT unnest(list_filter(string_split_regex("
+            "lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '')) AS term "
+            "FROM documents) "
+            "SELECT term, count(*) AS count FROM toks GROUP BY term "
+            "ORDER BY count DESC, term ASC LIMIT 50"
+        ),
+        # topk_terms_sketch: approximate (Misra-Gries) → rows-only; the
+        # N/(m+1) error bound is asserted in tests/test_sketches.py.
         "tumbling_counts": (
             "SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS window_start, "
             "event_type, CAST(count(*) AS BIGINT) AS n_events, "

@@ -1,0 +1,76 @@
+"""Misra-Gries heavy-hitters: summary properties, merge-by-sum error
+bound vs exact counts, and the Ray pipelines over a synthetic table."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from themis_search_engine_ray.functions.analyzer import tokenize
+from themis_search_engine_ray.pipelines.sketches import (
+    misra_gries,
+    topk_terms_exact,
+    topk_terms_sketch,
+)
+
+
+def test_mg_summary_properties():
+    counts = {f"t{i}": c for i, c in enumerate([100, 50, 50, 10, 5, 3, 2, 1])}
+    n = sum(counts.values())
+    m = 3
+    mg = misra_gries(counts, m)
+    assert len(mg) <= m
+    bound = n / (m + 1)
+    for t, est in mg.items():
+        assert 0 < est <= counts[t]
+        assert counts[t] - est <= bound
+    # dropped terms must have true count within the bound
+    for t, c in counts.items():
+        if t not in mg:
+            assert c <= bound
+    # small dicts pass through exactly
+    assert misra_gries({"a": 2, "b": 1}, 5) == {"a": 2, "b": 1}
+
+
+@pytest.fixture(scope="module")
+def zipf_docs(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sk")
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    weights = 1.0 / np.arange(1, len(vocab) + 1)  # Zipf
+    weights /= weights.sum()
+    rows = []
+    for d in range(2000):
+        toks = rng.choice(vocab, size=30, p=weights)
+        rows.append({"doc_id": d, "text": " ".join(toks)})
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp / "documents.parquet"))
+    true = collections.Counter()
+    for r in rows:
+        true.update(tokenize(r["text"]))
+    return str(tmp), true
+
+
+def test_exact_topk(zipf_docs):
+    sf, true = zipf_docs
+    out = topk_terms_exact(sf, k=20)
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(out["term"], out["count"])) == want
+
+
+def test_sketch_error_bound_and_recall(zipf_docs):
+    sf, true = zipf_docs
+    m = 64
+    out = topk_terms_sketch(sf, k=20, capacity=m)
+    n = sum(true.values())
+    n_batches_bound = n / (m + 1)  # summed per-batch bounds telescope to N/(m+1)
+    est = dict(zip(out["term"], out["est_count"]))
+    for t, e in est.items():
+        assert e <= true[t]
+        assert true[t] - e <= n_batches_bound
+    # every term whose count clears the k-th by more than the bound is found
+    exact = topk_terms_exact(sf, k=20)
+    kth = int(exact["count"].iloc[-1])
+    guaranteed = {t for t, c in true.items() if c > kth + n_batches_bound}
+    assert guaranteed <= set(est)
