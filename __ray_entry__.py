@@ -25,6 +25,7 @@ from themis_search_engine_ray.functions.analyzer import STOPWORDS
 from themis_search_engine_ray.pipelines import (
     dedup,
     fulltext,
+    joins,
     multimodal,
     similarity,
     sketches,
@@ -71,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": lambda sf: ta.fingerprints(sf).map_batches(
             _fp_scalars, batch_format="pyarrow"
         ),
+        # ---- temporal as-of join over events ----
+        "asof_join_events": joins.asof_join_events,
         # ---- heavy-hitters (exact + Misra-Gries sketch) ----
         "topk_terms_exact": sketches.topk_terms_exact,
         "topk_terms_sketch": sketches.topk_terms_sketch,
@@ -332,6 +335,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT CAST(q.qid AS BIGINT) AS qid, d.conv_id, d.turn_idx, "
             "CAST(1.0 AS DOUBLE) AS score "
             "FROM qterms q JOIN dtoks d ON d.tok = q.tok"
+        ),
+        "asof_join_events": (
+            "WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type, value FROM events), "
+            "errors AS (SELECT * FROM e WHERE event_type = 'error'), "
+            "clicks AS (SELECT * FROM e WHERE event_type = 'click'), "
+            "best AS (SELECT er.event_id, cl.event_id AS cid, cl.tus AS ctus, cl.value AS cval, "
+            "row_number() OVER (PARTITION BY er.event_id "
+            "ORDER BY cl.tus DESC, cl.event_id DESC) AS rn "
+            "FROM errors er JOIN clicks cl "
+            "ON cl.user_id = er.user_id AND cl.tus <= er.tus) "
+            "SELECT er.event_id, er.user_id, CAST(er.tus // 1000000 AS BIGINT) AS ts_s, "
+            "b.cid AS click_event_id, CAST(b.ctus // 1000000 AS BIGINT) AS click_ts_s, "
+            "b.cval AS click_value "
+            "FROM errors er LEFT JOIN (SELECT * FROM best WHERE rn = 1) b "
+            "ON b.event_id = er.event_id"
         ),
         "topk_terms_exact": (
             "WITH toks AS (SELECT unnest(list_filter(string_split_regex("
