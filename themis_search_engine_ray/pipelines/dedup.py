@@ -66,6 +66,26 @@ def _minhash_params(seed: int = 7):
 _MH_A, _MH_B = _minhash_params()
 
 
+_MAX_CLIQUE = 512
+
+
+def _pair_indices(n: int, max_clique: int = _MAX_CLIQUE):
+    """Candidate-pair index arrays for one LSH bucket.
+
+    All pairs below the cap; above it, a star (min element vs rest) —
+    a degenerate bucket (e.g. thousands of identical or empty docs all
+    sharing a band signature) then costs O(n) rows instead of an O(n²)
+    clique that would OOM the group task at corpus scale. Duplicate
+    *components* stay connected through the hub, which is what dedup
+    needs; only the explicit pair enumeration inside a giant
+    near-identical cluster is elided (and logged by the count)."""
+    if n <= max_clique:
+        return np.triu_indices(n, k=1)
+    a = np.zeros(n - 1, np.int64)
+    b = np.arange(1, n, dtype=np.int64)
+    return a, b
+
+
 def minhash_signature(sh_hashes: np.ndarray) -> np.ndarray:
     """64-perm minhash of a set of 64-bit shingle hashes (vectorized)."""
     if sh_hashes.size == 0:
@@ -243,7 +263,7 @@ def minhash_pairs_ds(
             return pa.Table.from_pydict({"a": [], "b": []}).cast(
                 pa.schema([("a", pa.int64()), ("b", pa.int64())])
             )
-        ai, bi = np.triu_indices(ids.size, k=1)
+        ai, bi = _pair_indices(ids.size)
         return pa.Table.from_pydict({"a": ids[ai], "b": ids[bi]})
 
     sig_keys = [f"sig{r}" for r in range(_ROWS_PER_BAND)]
@@ -425,7 +445,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
             return pa.Table.from_pydict({"a": [], "b": [], "hamming": []}).cast(
                 pa.schema([("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int32())])
             )
-        ai, bi = np.triu_indices(uniq.size, k=1)
+        ai, bi = _pair_indices(uniq.size)
         x = (sigs[ai] ^ sigs[bi]).view(np.uint64)  # XOR is sign-agnostic
         hd = np.zeros(x.size, dtype=np.int32)
         while x.any():
