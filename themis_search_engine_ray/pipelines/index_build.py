@@ -524,16 +524,20 @@ def build_norms(index_dir: str) -> str:
     def w2_partials(batch: dict) -> pa.Table:
         out_ids: list[np.ndarray] = []
         out_w2: list[np.ndarray] = []
-        kps: list[int] = []
+        out_kp: list[np.ndarray] = []
+        out_seq: list[np.ndarray] = []
         for kp, files in zip(batch["kp"], batch["files"]):
             tabs = [pq.read_table(f, columns=["term", "df", "docs", "tfs", "skips"]) for f in files]
             df_global: dict[str, int] = {}
             for tab in tabs:
                 for term, df in zip(tab["term"].to_pylist(), tab["df"].to_pylist()):
                     df_global[term] = df_global.get(term, 0) + int(df)
-            acc: dict[int, float] = {}
-            for tab in tabs:
+            # flush one partial per FILE (seq column keeps downstream
+            # accumulation deterministic) so worker memory stays bounded
+            # by one segment file's doc set, not the whole term-part
+            for seq, tab in enumerate(tabs):
                 terms = tab["term"].to_pylist()
+                id_chunks, w2_chunks = [], []
                 for row in range(tab.num_rows):
                     t_idf = idf_int(n_docs, df_global[terms[row]])
                     skips = skips_from_bytes(tab["skips"][row].as_buffer())
@@ -541,25 +545,33 @@ def build_norms(index_dir: str) -> str:
                     if ids.size == 0:
                         continue
                     w = all_tfs(tab["tfs"][row].as_buffer()) * t_idf
-                    w2 = w * w
-                    for did, v in zip(ids.tolist(), w2.tolist()):
-                        acc[did] = acc.get(did, 0.0) + v
-            if acc:
-                out_ids.append(np.fromiter(acc.keys(), np.uint64, len(acc)))
-                out_w2.append(np.fromiter(acc.values(), np.float64, len(acc)))
-                kps.extend([int(kp)] * len(acc))
+                    id_chunks.append(ids)
+                    w2_chunks.append(w * w)
+                if not id_chunks:
+                    continue
+                ids_all = np.concatenate(id_chunks)
+                w2_all = np.concatenate(w2_chunks)
+                uniq, inv = np.unique(ids_all, return_inverse=True)
+                sums = np.zeros(uniq.size, np.float64)
+                np.add.at(sums, inv, w2_all)
+                out_ids.append(uniq)
+                out_w2.append(sums)
+                out_kp.append(np.full(uniq.size, int(kp), np.int32))
+                out_seq.append(np.full(uniq.size, seq, np.int32))
         if not out_ids:
             return pa.Table.from_pydict(
                 {
                     "doc_id": pa.array([], pa.int64()),
                     "kp": pa.array([], pa.int32()),
+                    "seq": pa.array([], pa.int32()),
                     "w2": pa.array([], pa.float64()),
                 }
             )
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(np.concatenate(out_ids).astype(np.int64)),
-                "kp": pa.array(np.asarray(kps, np.int32)),
+                "kp": pa.array(np.concatenate(out_kp)),
+                "seq": pa.array(np.concatenate(out_seq)),
                 "w2": pa.array(np.concatenate(out_w2)),
             }
         )
@@ -567,10 +579,11 @@ def build_norms(index_dir: str) -> str:
     def norm_group(group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy()
         kp = group["kp"].to_numpy()
+        seq = group["seq"].to_numpy()
         w2 = group["w2"].to_numpy()
         uniq = np.unique(ids)
-        # ascending-kp accumulation per doc: deterministic float sums
-        order = np.lexsort((kp, ids))
+        # ascending (kp, seq) accumulation per doc: deterministic sums
+        order = np.lexsort((seq, kp, ids))
         acc = np.zeros(uniq.size, np.float64)
         np.add.at(acc, np.searchsorted(uniq, ids[order]), w2[order])
         norms = np.sqrt(acc)
