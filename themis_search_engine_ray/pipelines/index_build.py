@@ -268,6 +268,11 @@ def finalize_index(out_dir: str, cfg: BuildConfig, n_partitions: int) -> dict:
             rd.read_parquet(seg_files, columns=["term", "df"])
             .groupby("term")
             .aggregate(Sum("df", alias_name="df"))
+            # sorted term directory → query-time binary search over the
+            # mmap'd column instead of a driver-RAM dict (Indexer.java
+            # loads its whole vocabulary into a HashMap; at 10^8+ terms
+            # that is the wrong trade)
+            .sort("term")
             .write_parquet(ts_dir)
         )
 

@@ -55,6 +55,56 @@ class Hit:
     score: float
 
 
+class TermDirectory:
+    """Global term → df directory backed by Arrow buffers.
+
+    The reference loads its whole vocabulary into a Java HashMap
+    (``Indexer.java:1450-1473``); a Python dict of 10^8 terms is the
+    same wrong trade. Here the (term, df) columns stay in Arrow memory
+    (contiguous buffers, no per-term Python objects), sorted once with
+    a vectorized kernel; lookups binary-search with O(log n) `.as_py()`
+    accesses — a handful per query term."""
+
+    def __init__(self, ts_dir: str):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tab = pads.dataset(ts_dir, format="parquet").to_table(columns=["term", "df"])
+        idx = pc.sort_indices(tab["term"])
+        self._terms = tab["term"].take(idx).combine_chunks()
+        self._dfs = tab["df"].take(idx).combine_chunks()
+        if isinstance(self._terms, pa.ChunkedArray):
+            self._terms = (
+                self._terms.chunk(0) if self._terms.num_chunks else pa.array([], pa.string())
+            )
+        if isinstance(self._dfs, pa.ChunkedArray):
+            self._dfs = (
+                self._dfs.chunk(0) if self._dfs.num_chunks else pa.array([], pa.int64())
+            )
+        self._n = len(self._terms)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def get(self, term: str, default=None):
+        lo, hi = 0, self._n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._terms[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < self._n and self._terms[lo].as_py() == term:
+            return int(self._dfs[lo].as_py())
+        return default
+
+    def __getitem__(self, term: str) -> int:
+        df = self.get(term)
+        if df is None:
+            raise KeyError(term)
+        return df
+
+
 class ShardIndex:
     """In-process view of one or more salt shards of the index."""
 
@@ -586,15 +636,12 @@ class SearchEngine:
         self.n_docs = int(self.meta["n_docs"])
         num_shards = int(self.meta["num_shards"])
 
-        # global term df directory (small; dict lookup like the
-        # reference's in-RAM vocabulary, but df-only — offsets are gone)
+        # global term-df directory (Arrow-backed binary search; see
+        # TermDirectory — replaces the reference's all-in-RAM HashMap)
         ts_dir = os.path.join(index_dir, "term_stats")
-        self.df: dict[str, int] = {}
-        if os.path.isdir(ts_dir):
-            tab = pads.dataset(ts_dir, format="parquet").to_table()
-            self.df = dict(
-                zip(tab["term"].to_pylist(), (int(x) for x in tab["df"].to_pylist()))
-            )
+        self.df = (
+            TermDirectory(ts_dir) if os.path.isdir(ts_dir) else {}
+        )
 
         num_actors = min(num_actors or num_shards, num_shards)
         groups = [list(range(num_shards))[i::num_actors] for i in range(num_actors)]
@@ -722,11 +769,7 @@ class LocalSearchEngine:
         self.analyzer_cfg = AnalyzerConfig(**self.meta["analyzer"])
         self.n_docs = int(self.meta["n_docs"])
         self.shard = ShardIndex(index_dir, list(range(int(self.meta["num_shards"]))))
-        ts_dir = os.path.join(index_dir, "term_stats")
-        tab = pads.dataset(ts_dir, format="parquet").to_table()
-        self.df = dict(
-            zip(tab["term"].to_pylist(), (int(x) for x in tab["df"].to_pylist()))
-        )
+        self.df = TermDirectory(os.path.join(index_dir, "term_stats"))
 
     def search(self, query: str, k: int = 10, prune: bool = True) -> list[Hit]:
         terms_all = analyze_query(query, self.analyzer_cfg)
