@@ -74,13 +74,11 @@ def test_compacted_single_run_per_term(built):
     assert os.path.isdir(os.path.join(idx, "compacted", "segments"))
     # every (term, shard-view) now has at most num_shards runs total
     meta = load_meta(idx)
-    for term, runs in eng.shard.runs.items():
-        assert len(runs) <= meta["num_shards"], term
-    # df totals preserved
+    for term in oracle.postings:
+        assert len(eng.shard.term_runs(term)) <= meta["num_shards"], term
+    # df totals preserved (sum over every segment row)
     total = sum(
-        int(eng.shard.tables[ti]["df"][row].as_py())
-        for runs in eng.shard.runs.values()
-        for ti, row in runs
+        int(df) for tab in eng.shard.tables for df in tab["df"].to_pylist()
     )
     assert total == sum(len(p) for p in oracle.postings.values())
 

@@ -134,8 +134,13 @@ class ShardIndex:
                 for p in sorted(os.listdir(part_root))
             ]
 
+        # Per-table sorted term columns stay in Arrow buffers; term →
+        # runs resolution is a binary search per table (SegmentWriter
+        # and compact_index both write terms sorted). No per-term Python
+        # dict — the reference's all-in-RAM vocabulary HashMap pattern
+        # does not survive 10^8-term vocabularies.
         self.tables = []
-        self.runs: dict[str, list[tuple[int, int]]] = {}
+        self._table_terms = []
         for seg_dir in seg_dirs:
             if not os.path.isdir(seg_dir):
                 continue
@@ -148,10 +153,12 @@ class ShardIndex:
                 tab = pq.read_table(
                     os.path.join(seg_dir, fname), memory_map=True
                 ).combine_chunks()
-                ti = len(self.tables)
                 self.tables.append(tab)
-                for row, term in enumerate(tab["term"].to_pylist()):
-                    self.runs.setdefault(term, []).append((ti, row))
+                col = tab["term"]
+                self._table_terms.append(
+                    col.chunk(0) if col.num_chunks else col.combine_chunks()
+                )
+        self._runs_memo: dict[str, list[tuple[int, int]]] = {}
 
         # doc_stats for these salt ranges, sorted by doc_id
         frames = []
@@ -214,6 +221,26 @@ class ShardIndex:
                 nids = ntab["doc_id"].to_numpy().astype(np.uint64)
                 pos = np.searchsorted(self.doc_ids, nids)
                 self.norms[pos] = ntab["norm"].to_numpy()
+
+    def term_runs(self, term: str) -> list[tuple[int, int]]:
+        """All (table, row) posting runs of a term in this shard —
+        binary search over each table's sorted term column, memoized."""
+        hit = self._runs_memo.get(term)
+        if hit is not None:
+            return hit
+        out = []
+        for ti, terms in enumerate(self._table_terms):
+            lo, hi = 0, len(terms)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if terms[mid].as_py() < term:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            if lo < len(terms) and terms[lo].as_py() == term:
+                out.append((ti, lo))
+        self._runs_memo[term] = out
+        return out
 
     # decoded-postings cache budget (bytes of ids+tfs kept hot); hot
     # terms dominate query mixes, so caching their decoded runs removes
@@ -354,7 +381,7 @@ class ShardIndex:
         the monotone lower-bound argument) or when fewer than k docs
         match the top-impact term.
         """
-        run_lists = [self.runs.get(t, ()) for t in terms]
+        run_lists = [self.term_runs(t) for t in terms]
         n_terms = len(terms)
         self.last_prune_stats = {}
         if (
@@ -475,7 +502,7 @@ class ShardIndex:
         per_stem_ids: dict[str, np.ndarray] = {}
         for s in uniq:
             chunks = [
-                self._decode_run(ti, row)[0] for ti, row in self.runs.get(s, ())
+                self._decode_run(ti, row)[0] for ti, row in self.term_runs(s)
             ]
             chunks = [c for c in chunks if c.size]
             if not chunks:
@@ -497,7 +524,7 @@ class ShardIndex:
         pos_maps: dict[str, dict[int, np.ndarray]] = {s: {} for s in uniq}
         for s in uniq:
             pm = pos_maps[s]
-            for ti, row in self.runs.get(s, ()):
+            for ti, row in self.term_runs(s):
                 ids, _ = self._decode_run(ti, row)
                 mask = self._member_mask(ids, cand)
                 if mask.any():
@@ -526,7 +553,7 @@ class ShardIndex:
         id_chunks, sc_chunks = [], []
         for s in uniq:  # ascending stems == oracle accumulation order
             t_idf = idfs[s]
-            for ti, row in self.runs.get(s, ()):
+            for ti, row in self.term_runs(s):
                 ids, _, f = self._run_entry(ti, row)
                 mask = self._member_mask(ids, keep_arr)
                 if mask.any():
@@ -544,7 +571,7 @@ class ShardIndex:
             raise RuntimeError("VSM needs norms/ — run build_norms(index_dir) first")
         id_chunks, sc_chunks = [], []
         for term, t_idf, wq in zip(terms, idfs, qweights):
-            for ti, row in self.runs.get(term, ()):
+            for ti, row in self.term_runs(term):
                 ids, tfs = self._decode_run(ti, row)
                 if ids.size:
                     id_chunks.append(ids)
@@ -571,7 +598,7 @@ class ShardIndex:
         oracle.search_existential)."""
         id_chunks = []
         for term in terms:
-            for ti, row in self.runs.get(term, ()):
+            for ti, row in self.term_runs(term):
                 ids, _ = self._decode_run(ti, row)
                 if ids.size:
                     id_chunks.append(ids)
