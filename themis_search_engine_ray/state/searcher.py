@@ -173,21 +173,36 @@ class ShardIndex:
                             columns=["doc_id", "conv_id", "turn_idx", "dl"]
                         )
                     )
-        if frames:
-            import pyarrow as pa
+        import pyarrow as pa
 
+        if frames:
             stats = pa.concat_tables(frames)
             ids = stats["doc_id"].to_numpy().astype(np.uint64)
             order = np.argsort(ids, kind="stable")
             self.doc_ids = ids[order]
             self.dl = stats["dl"].to_numpy().astype(np.float64)[order]
-            self.conv = np.asarray(stats["conv_id"].to_pylist(), dtype="U")[order]
             self.turn = stats["turn_idx"].to_numpy().astype(np.int32)[order]
+            # conv ids stay in Arrow buffers (no per-doc Python/numpy-U
+            # strings — 1e9 docs/shard would not fit otherwise); the
+            # (conv asc, turn asc) tie-break is precomputed as an int
+            # ordinal so per-query sorts touch only ints, and strings
+            # are materialized for the top-k hits alone
+            conv_arr = stats["conv_id"].take(pa.array(order)).combine_chunks()
+            if isinstance(conv_arr, pa.ChunkedArray):
+                conv_arr = (
+                    conv_arr.chunk(0) if conv_arr.num_chunks else pa.array([], pa.string())
+                )
+            self._conv = conv_arr
+            conv_obj = np.asarray(self._conv.to_pylist(), dtype=object)
+            tb_order = np.lexsort((self.turn, conv_obj))
+            self.tiebreak = np.empty(ids.size, np.int64)
+            self.tiebreak[tb_order] = np.arange(ids.size, dtype=np.int64)
         else:
             self.doc_ids = np.empty(0, np.uint64)
             self.dl = np.empty(0, np.float64)
-            self.conv = np.empty(0, dtype="U1")
             self.turn = np.empty(0, np.int32)
+            self._conv = pa.array([], pa.string())
+            self.tiebreak = np.empty(0, np.int64)
         # tightest safe dl for per-term/block score upper bounds (BM25
         # contribution is decreasing in dl, increasing in tf)
         self.dl_min = float(self.dl.min()) if self.dl.size else 0.0
@@ -356,10 +371,15 @@ class ShardIndex:
         acc = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(acc, inv, contrib)  # sequential adds in term-asc order
         pos = np.searchsorted(self.doc_ids, uniq)
-        conv = self.conv[pos]
-        turn = self.turn[pos]
-        order = np.lexsort((turn, conv, -acc))[: min(k, acc.size)]
-        return conv[order].tolist(), turn[order].tolist(), acc[order].tolist()
+        return self._take_topk(pos, acc, k)
+
+    def _take_topk(self, pos: np.ndarray, acc: np.ndarray, k: int):
+        """Int-only (score desc, tie-break-ordinal asc) sort; conv
+        strings materialized from Arrow for the k winners only."""
+        order = np.lexsort((self.tiebreak[pos], -acc))[: min(k, acc.size)]
+        sel = pos[order]
+        conv = [self._conv[int(i)].as_py() for i in sel]
+        return conv, self.turn[sel].tolist(), acc[order].tolist()
 
     def _run_max_tf(self, ti: int, row: int) -> float:
         skips = skips_from_bytes(self.tables[ti]["skips"][row].as_buffer())
@@ -587,10 +607,7 @@ class ShardIndex:
         denom = self.norms[pos] * qnorm
         with np.errstate(divide="ignore", invalid="ignore"):
             acc = np.where(denom != 0.0, num / denom, 0.0)
-        conv = self.conv[pos]
-        turn = self.turn[pos]
-        order = np.lexsort((turn, conv, -acc))[: min(k, acc.size)]
-        return conv[order].tolist(), turn[order].tolist(), acc[order].tolist()
+        return self._take_topk(pos, acc, k)
 
     def candidates_existential(self, terms: list[str], k: int):
         """Boolean OR: distinct matching docs, score 1.0, (conv, turn)
@@ -606,10 +623,10 @@ class ShardIndex:
             return [], []
         uniq = np.unique(np.concatenate(id_chunks))
         pos = np.searchsorted(self.doc_ids, uniq)
-        conv = self.conv[pos]
-        turn = self.turn[pos]
-        order = np.lexsort((turn, conv))[: min(k, uniq.size)]
-        return conv[order].tolist(), turn[order].tolist()
+        order = np.argsort(self.tiebreak[pos], kind="stable")[: min(k, uniq.size)]
+        sel = pos[order]
+        conv = [self._conv[int(i)].as_py() for i in sel]
+        return conv, self.turn[sel].tolist()
 
     def _score_full(self, run_lists, idfs, k, pre: dict | None = None):
         """Full OR evaluation (every run decoded) — the no-prune path."""
