@@ -1,0 +1,70 @@
+"""Degenerate-corpus robustness: all-empty texts, stopword-only docs,
+single-doc corpora — build, stats, and every retrieval model must
+behave (no crashes, correct empties) end to end."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from themis_search_engine_ray.oracle import ThemisOracle
+from themis_search_engine_ray.pipelines.index_build import (
+    BuildConfig,
+    build_index,
+    build_norms,
+)
+from themis_search_engine_ray.state.searcher import LocalSearchEngine
+
+
+def _build(tmp_path, rows, name):
+    corpus = str(tmp_path / f"{name}_turns")
+    import os
+
+    os.makedirs(corpus)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"conv_id": c, "turn_idx": t, "text": x} for c, t, x in rows]
+        ),
+        f"{corpus}/part-0.parquet",
+    )
+    idx = str(tmp_path / f"{name}_idx")
+    build_index(corpus, idx, BuildConfig(num_partitions=1, term_parts=2, salt_bits=1))
+    return idx
+
+
+def test_all_empty_corpus(ray_session, tmp_path):
+    rows = [("c0", i, "") for i in range(8)]
+    idx = _build(tmp_path, rows, "empty")
+    eng = LocalSearchEngine(idx)
+    assert eng.n_docs == 8
+    assert eng.search("anything", k=5) == []
+    assert eng.search_existential("anything", k=5) == []
+    assert eng.search_phrase("any thing", k=5) == []
+    oracle = ThemisOracle(rows)
+    assert oracle.search("anything", k=5) == []
+
+
+def test_stopword_only_corpus(ray_session, tmp_path):
+    rows = [("c0", i, "the and of a an") for i in range(6)]
+    idx = _build(tmp_path, rows, "stop")
+    eng = LocalSearchEngine(idx)
+    # dl counts non-stopword tokens -> all zero; avgdl 0; no postings
+    assert eng.meta["avgdl"] == 0.0
+    assert eng.search("the and", k=5) == []
+    assert eng.search("data", k=5) == []
+    build_norms(idx)
+    eng2 = LocalSearchEngine(idx)
+    assert eng2.search_vsm("the data", k=5) == []
+
+
+def test_single_doc_corpus(ray_session, tmp_path):
+    rows = [("solo", 0, "lonely document text here")]
+    idx = _build(tmp_path, rows, "solo")
+    eng = LocalSearchEngine(idx)
+    oracle = ThemisOracle(rows)
+    got = eng.search("lonely text", k=3)
+    want = oracle.search("lonely text", k=3)
+    assert [(h.conv_id, h.turn_idx, h.score) for h in got] == [
+        (h.conv_id, h.turn_idx, h.score) for h in want
+    ]
+    # df == N -> idf = log2(0.5/1.5) < 0 for every term; still exact
+    assert got and got[0].conv_id == "solo"

@@ -606,13 +606,16 @@ def build_norms(index_dir: str) -> str:
     import shutil
 
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    (
-        rd.from_items(items)
-        .map_batches(w2_partials, batch_size=1)
-        .groupby("doc_id")
-        .map_groups(norm_group, batch_format="pyarrow")
-        .write_parquet(tmp_dir, partition_cols=["salt"])
-    )
+    if items:
+        (
+            rd.from_items(items)
+            .map_batches(w2_partials, batch_size=1)
+            .groupby("doc_id")
+            .map_groups(norm_group, batch_format="pyarrow")
+            .write_parquet(tmp_dir, partition_cols=["salt"])
+        )
+    else:  # zero postings → empty (but present) norms directory
+        os.makedirs(tmp_dir, exist_ok=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp_dir, out_dir)
     return out_dir

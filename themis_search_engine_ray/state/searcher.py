@@ -813,7 +813,9 @@ class LocalSearchEngine:
         self.analyzer_cfg = AnalyzerConfig(**self.meta["analyzer"])
         self.n_docs = int(self.meta["n_docs"])
         self.shard = ShardIndex(index_dir, list(range(int(self.meta["num_shards"]))))
-        self.df = TermDirectory(os.path.join(index_dir, "term_stats"))
+        ts_dir = os.path.join(index_dir, "term_stats")
+        # a corpus with zero postings writes no term_stats at all
+        self.df = TermDirectory(ts_dir) if os.path.isdir(ts_dir) else {}
 
     def search(self, query: str, k: int = 10, prune: bool = True) -> list[Hit]:
         terms_all = analyze_query(query, self.analyzer_cfg)
