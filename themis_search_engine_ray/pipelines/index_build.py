@@ -53,6 +53,7 @@ class BuildConfig:
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
     batch_size: int = 1024  # turns per tokenize batch
     num_partitions: int = 1  # build partitions (checkpoint granularity)
+    store_text: bool = False  # doc_stats doubles as a doc store (FULL results)
     # partition pipelines run concurrently (driver threads; each is an
     # independent Ray Data dataset) — overlaps the per-pipeline fixed
     # latency (startup + shuffle barrier) that otherwise serializes;
@@ -66,7 +67,8 @@ class BuildConfig:
     def fingerprint(self) -> str:
         return (
             f"{self.analyzer.fingerprint};salt_bits={self.salt_bits};"
-            f"parts={self.term_parts};pos={int(self.with_positions)}"
+            f"parts={self.term_parts};pos={int(self.with_positions)};"
+            f"text={int(self.store_text)}"
         )
 
 
@@ -151,6 +153,7 @@ def build_partition(
             cfg.term_parts,
             cfg.with_positions,
             emit_doc_stats=True,
+            store_text=cfg.store_text,
         ),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,

@@ -83,25 +83,39 @@ class SegmentWriter:
         tfs_col = group["tfs"].combine_chunks()
         npos_col = group["npos"].combine_chunks()
         pos_col = group["pos"].combine_chunks()
-        ids, dls, turns, convs = [], [], [], []
+        extra_col = (
+            group["extra"].combine_chunks() if "extra" in group.column_names else None
+        )
+        ids, dls, turns, convs, texts = [], [], [], [], []
+        has_text = False
         for r in range(group.num_rows):
             ids.append(np.frombuffer(docs_col[r].as_buffer(), dtype="<u8"))
             dls.append(np.frombuffer(tfs_col[r].as_buffer(), dtype="<f8"))
             turns.append(np.frombuffer(npos_col[r].as_buffer(), dtype="<u4"))
             convs.extend(unpack_conv_ids(pos_col[r].as_py()))
+            if extra_col is not None:
+                blob = extra_col[r].as_py()
+                if blob:
+                    has_text = True
+                    texts.extend(unpack_conv_ids(blob))
         doc_id = np.concatenate(ids).astype(np.int64)
         dl = np.concatenate(dls).astype(np.int32)
         turn = np.concatenate(turns).astype(np.int32)
         order = np.argsort(doc_id, kind="stable")
-        tab = pa.Table.from_arrays(
-            [
-                pa.array(doc_id[order]),
-                pa.array(np.asarray(convs, dtype=object)[order].tolist(), pa.string()),
-                pa.array(turn[order]),
-                pa.array(dl[order]),
-            ],
-            names=["doc_id", "conv_id", "turn_idx", "dl"],
-        )
+        arrays = [
+            pa.array(doc_id[order]),
+            pa.array(np.asarray(convs, dtype=object)[order].tolist(), pa.string()),
+            pa.array(turn[order]),
+            pa.array(dl[order]),
+        ]
+        names = ["doc_id", "conv_id", "turn_idx", "dl"]
+        if has_text:
+            # doc store: the working RESULT_TYPE.FULL equivalent
+            arrays.append(
+                pa.array(np.asarray(texts, dtype=object)[order].tolist(), pa.string())
+            )
+            names.append("text")
+        tab = pa.Table.from_arrays(arrays, names=names)
         out_dir = os.path.join(self.ds_dir, f"salt={salt}")
         os.makedirs(out_dir, exist_ok=True)
         fname = f"docstats-{salt:04d}.parquet"

@@ -105,6 +105,7 @@ FRAGMENT_SCHEMA = pa.schema(
         ("tfs", pa.large_binary()),  # f64 LE array
         ("npos", pa.large_binary()),  # u32 LE per-doc position counts
         ("pos", pa.large_binary()),  # u32 LE concatenated positions
+        ("extra", pa.large_binary()),  # doc-stat rows: packed texts (store_text)
     ]
 )
 
@@ -143,12 +144,18 @@ class FragmentBatcher:
         term_parts: int = 16,
         with_positions: bool = True,
         emit_doc_stats: bool = False,
+        store_text: bool = False,
     ):
         self.config = config
         self.salt_bits = salt_bits
         self.term_parts = term_parts
         self.with_positions = with_positions
         self.emit_doc_stats = emit_doc_stats
+        # store_text packs the raw turn text into the doc-stat rows so
+        # doc_stats becomes a doc store (the working equivalent of the
+        # reference's unimplemented RESULT_TYPE.FULL —
+        # themis/indexer/Indexer.java:1754-1783 returns null)
+        self.store_text = store_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch["conv_id"].to_pylist()
@@ -174,6 +181,7 @@ class FragmentBatcher:
                     entry[2].append(doc.positions[stem])
 
         gkeys, salts, terms, docs_b, tfs_b, npos_b, pos_b = [], [], [], [], [], [], []
+        extra_b: list[bytes] = []
         P = self.term_parts
         for stem in acc:
             dids, tfs, poss = acc[stem]
@@ -211,6 +219,7 @@ class FragmentBatcher:
                     npos_b.append(b"")
                     pos_b.append(b"")
 
+        extra_b.extend([b""] * (len(gkeys) - len(extra_b)))  # posting rows
         if self.emit_doc_stats:
             batch_salts = (ids >> shift).astype(np.int64)
             turn_arr = np.asarray(turn, dtype=np.uint32)
@@ -223,6 +232,13 @@ class FragmentBatcher:
                 tfs_b.append(dls[sel].tobytes())
                 npos_b.append(turn_arr[sel].tobytes())
                 pos_b.append(pack_conv_ids([conv[int(i)] for i in sel]))
+                extra_b.append(
+                    pack_conv_ids(
+                        [texts[int(i)] if texts[int(i)] is not None else "" for i in sel]
+                    )
+                    if self.store_text
+                    else b""
+                )
 
         return pa.Table.from_arrays(
             [
@@ -233,6 +249,7 @@ class FragmentBatcher:
                 pa.array(tfs_b, pa.large_binary()),
                 pa.array(npos_b, pa.large_binary()),
                 pa.array(pos_b, pa.large_binary()),
+                pa.array(extra_b, pa.large_binary()),
             ],
             schema=FRAGMENT_SCHEMA,
         )

@@ -105,6 +105,46 @@ class TermDirectory:
         return df
 
 
+def fetch_texts(index_dir: str, hits) -> dict[tuple[str, int], str]:
+    """Fetch stored turn texts for ranked hits — the working equivalent
+    of the reference's RESULT_TYPE.FULL, which is declared but returns
+    null (``themis/indexer/Indexer.java:1754-1783``). Requires an index
+    built with ``BuildConfig(store_text=True)``; returns {} otherwise.
+    Reads only the doc-stat row groups matching the hits' doc ids."""
+    import pyarrow.compute as pc
+
+    from ..stages.tokenize import doc_key
+
+    want = {doc_key(h.conv_id, h.turn_idx): (h.conv_id, h.turn_idx) for h in hits}
+    if not want:
+        return {}
+    compacted = os.path.join(index_dir, "compacted", "doc_stats")
+    if os.path.isdir(compacted):
+        roots = [compacted]
+    else:
+        part_root = os.path.join(index_dir, "partitions")
+        roots = [
+            os.path.join(part_root, p, "doc_stats")
+            for p in sorted(os.listdir(part_root))
+        ]
+    ids = [int(i) for i in want]
+    out: dict[tuple[str, int], str] = {}
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        dset = pads.dataset(root, format="parquet")
+        if "text" not in dset.schema.names:
+            continue
+        tab = dset.to_table(
+            columns=["doc_id", "text"], filter=pc.field("doc_id").isin(ids)
+        )
+        for did, text in zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()):
+            key = want.get(int(did))
+            if key is not None:
+                out[key] = text
+    return out
+
+
 class ShardIndex:
     """In-process view of one or more salt shards of the index."""
 
