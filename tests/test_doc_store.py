@@ -58,6 +58,25 @@ def test_fetch_texts_after_compaction(built):
         assert texts[(h.conv_id, h.turn_idx)] == truth[(h.conv_id, h.turn_idx)]
 
 
+def test_snippets(built):
+    from themis_search_engine_ray.state.searcher import snippets
+
+    idx, truth = built
+    eng = LocalSearchEngine(idx)
+    hits = eng.search("agent data", k=5)
+    snips = snippets(idx, hits, "agent data", window=3)
+    assert len(snips) == len(hits)
+    for key, s in snips.items():
+        assert "[[" in s and "]]" in s  # every hit matches ≥1 query stem
+        # highlighted tokens really are query stems
+        import re
+
+        from themis_search_engine_ray.functions.porter import stem_token
+
+        marked = re.findall(r"\[\[([a-z0-9]+)\]\]", s)
+        assert marked and all(stem_token(m) in {"agent", "data"} for m in marked)
+
+
 def test_fetch_without_store_text_is_empty(ray_session, tmp_path):
     corpus = str(tmp_path / "turns")
     write_synthetic(corpus, n_turns=100, seed=33, turns_per_block=50)

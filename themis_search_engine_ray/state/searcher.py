@@ -145,6 +145,44 @@ def fetch_texts(index_dir: str, hits) -> dict[tuple[str, int], str]:
     return out
 
 
+def snippets(
+    index_dir: str,
+    hits,
+    query: str,
+    window: int = 5,
+    config: AnalyzerConfig | None = None,
+) -> dict[tuple[str, int], str]:
+    """Highlighted snippets for ranked hits (needs store_text=True).
+
+    For each hit: tokenize the stored text, find the first token whose
+    stem matches a query stem, and return a ±window-token excerpt with
+    matches wrapped in ``[[...]]``. Empty dict when no doc store."""
+    from ..functions.analyzer import DEFAULT_CONFIG, analyze_query, tokenize as _tok
+    from ..functions.porter import stem_token
+
+    cfg = config or DEFAULT_CONFIG
+    stems = set(analyze_query(query, cfg))
+    texts = fetch_texts(index_dir, hits)
+    out: dict[tuple[str, int], str] = {}
+    for key, text in texts.items():
+        toks = _tok(text)
+        matched = [
+            i
+            for i, t in enumerate(toks)
+            if (stem_token(t) if cfg.use_stemmer else t) in stems
+        ]
+        if not matched:
+            out[key] = " ".join(toks[: 2 * window + 1])
+            continue
+        lo = max(0, matched[0] - window)
+        hi = min(len(toks), matched[0] + window + 1)
+        span = set(m for m in matched if lo <= m < hi)
+        out[key] = " ".join(
+            f"[[{t}]]" if i in span else t for i, t in enumerate(toks[lo:hi], lo)
+        )
+    return out
+
+
 class ShardIndex:
     """In-process view of one or more salt shards of the index."""
 
