@@ -54,6 +54,7 @@ class BuildConfig:
     batch_size: int = 1024  # turns per tokenize batch
     num_partitions: int = 1  # build partitions (checkpoint granularity)
     store_text: bool = False  # doc_stats doubles as a doc store (FULL results)
+    with_role: bool = False  # carry the role column into doc_stats (fielded search)
     # partition pipelines run concurrently (driver threads; each is an
     # independent Ray Data dataset) — overlaps the per-pipeline fixed
     # latency (startup + shuffle barrier) that otherwise serializes;
@@ -68,7 +69,7 @@ class BuildConfig:
         return (
             f"{self.analyzer.fingerprint};salt_bits={self.salt_bits};"
             f"parts={self.term_parts};pos={int(self.with_positions)};"
-            f"text={int(self.store_text)}"
+            f"text={int(self.store_text)};role={int(self.with_role)}"
         )
 
 
@@ -140,9 +141,8 @@ def build_partition(
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     nblocks = max(2 * ncpu, len(files))
-    turns = rd.read_parquet(
-        files, columns=["conv_id", "turn_idx", "text"], override_num_blocks=nblocks
-    )
+    cols = ["conv_id", "turn_idx", "text"] + (["role"] if cfg.with_role else [])
+    turns = rd.read_parquet(files, columns=cols, override_num_blocks=nblocks)
 
     # ONE pass: posting fragments + packed doc-stat rows from the same
     # analyze, ONE groupby(gkey) shuffle routing both to their writers
@@ -154,6 +154,7 @@ def build_partition(
             cfg.with_positions,
             emit_doc_stats=True,
             store_text=cfg.store_text,
+            with_role=cfg.with_role,
         ),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,

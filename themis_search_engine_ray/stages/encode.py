@@ -86,13 +86,19 @@ class SegmentWriter:
         extra_col = (
             group["extra"].combine_chunks() if "extra" in group.column_names else None
         )
-        ids, dls, turns, convs, texts = [], [], [], [], []
+        term_col = group["term"].combine_chunks()
+        ids, dls, turns, convs, texts, roles = [], [], [], [], [], []
         has_text = False
+        has_role = False
         for r in range(group.num_rows):
             ids.append(np.frombuffer(docs_col[r].as_buffer(), dtype="<u8"))
             dls.append(np.frombuffer(tfs_col[r].as_buffer(), dtype="<f8"))
             turns.append(np.frombuffer(npos_col[r].as_buffer(), dtype="<u4"))
             convs.extend(unpack_conv_ids(pos_col[r].as_py()))
+            role_blob = term_col[r].as_py()  # doc-stat rows tunnel roles here
+            if role_blob:
+                has_role = True
+                roles.extend(role_blob.split("\x1f"))
             if extra_col is not None:
                 blob = extra_col[r].as_py()
                 if blob:
@@ -109,6 +115,11 @@ class SegmentWriter:
             pa.array(dl[order]),
         ]
         names = ["doc_id", "conv_id", "turn_idx", "dl"]
+        if has_role:
+            arrays.append(
+                pa.array(np.asarray(roles, dtype=object)[order].tolist(), pa.string())
+            )
+            names.append("role")
         if has_text:
             # doc store: the working RESULT_TYPE.FULL equivalent
             arrays.append(

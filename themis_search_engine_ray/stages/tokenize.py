@@ -145,6 +145,7 @@ class FragmentBatcher:
         with_positions: bool = True,
         emit_doc_stats: bool = False,
         store_text: bool = False,
+        with_role: bool = False,
     ):
         self.config = config
         self.salt_bits = salt_bits
@@ -156,6 +157,10 @@ class FragmentBatcher:
         # reference's unimplemented RESULT_TYPE.FULL —
         # themis/indexer/Indexer.java:1754-1783 returns null)
         self.store_text = store_text
+        # with_role carries the transcript's role column into doc_stats
+        # (fielded search: filter hits by role); doc-stat rows tunnel
+        # the roles through the otherwise-empty term column
+        self.with_role = with_role
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch["conv_id"].to_pylist()
@@ -221,13 +226,18 @@ class FragmentBatcher:
 
         extra_b.extend([b""] * (len(gkeys) - len(extra_b)))  # posting rows
         if self.emit_doc_stats:
+            roles = batch["role"].to_pylist() if self.with_role else None
             batch_salts = (ids >> shift).astype(np.int64)
             turn_arr = np.asarray(turn, dtype=np.uint32)
             for s in np.unique(batch_salts):
                 sel = np.flatnonzero(batch_salts == s)
                 gkeys.append(-(int(s) + 1))  # sentinel: doc-stats group
                 salts.append(int(s))
-                terms.append("")
+                terms.append(
+                    "\x1f".join((roles[int(i)] or "") for i in sel)
+                    if roles is not None
+                    else ""
+                )
                 docs_b.append(ids[sel].tobytes())
                 tfs_b.append(dls[sel].tobytes())
                 npos_b.append(turn_arr[sel].tobytes())

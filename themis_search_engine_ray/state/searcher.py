@@ -246,15 +246,15 @@ class ShardIndex:
             for s in self.salts:
                 sdir = os.path.join(ds_dir, f"salt={s}")
                 if os.path.isdir(sdir):
-                    frames.append(
-                        pads.dataset(sdir, format="parquet").to_table(
-                            columns=["doc_id", "conv_id", "turn_idx", "dl"]
-                        )
-                    )
+                    dset = pads.dataset(sdir, format="parquet")
+                    cols = ["doc_id", "conv_id", "turn_idx", "dl"]
+                    if "role" in dset.schema.names:
+                        cols.append("role")
+                    frames.append(dset.to_table(columns=cols))
         import pyarrow as pa
 
         if frames:
-            stats = pa.concat_tables(frames)
+            stats = pa.concat_tables(frames, promote_options="default")
             ids = stats["doc_id"].to_numpy().astype(np.uint64)
             order = np.argsort(ids, kind="stable")
             self.doc_ids = ids[order]
@@ -275,12 +275,25 @@ class ShardIndex:
             tb_order = np.lexsort((self.turn, conv_obj))
             self.tiebreak = np.empty(ids.size, np.int64)
             self.tiebreak[tb_order] = np.arange(ids.size, dtype=np.int64)
+            # role codes for fielded filtering (indexes built with_role)
+            self.role_index: dict[str, int] = {}
+            self.role_code = None
+            if "role" in stats.column_names:
+                role_list = stats["role"].take(pa.array(order)).to_pylist()
+                codes = np.empty(len(role_list), np.int16)
+                for i, r in enumerate(role_list):
+                    r = r or ""
+                    c = self.role_index.setdefault(r, len(self.role_index))
+                    codes[i] = c
+                self.role_code = codes
         else:
             self.doc_ids = np.empty(0, np.uint64)
             self.dl = np.empty(0, np.float64)
             self.turn = np.empty(0, np.int32)
             self._conv = pa.array([], pa.string())
             self.tiebreak = np.empty(0, np.int64)
+            self.role_index = {}
+            self.role_code = None
         # tightest safe dl for per-term/block score upper bounds (BM25
         # contribution is decreasing in dl, increasing in tf)
         self.dl_min = float(self.dl.min()) if self.dl.size else 0.0
@@ -439,16 +452,21 @@ class ShardIndex:
             return None, total_blocks, total_blocks
         return (ids[hit], t_idf * f[hit]), total_blocks, total_blocks
 
-    def _rank(self, id_chunks, sc_chunks, k: int):
+    def _rank(self, id_chunks, sc_chunks, k: int, role_code: int | None = None):
         """Accumulate per-term contribution chunks (already in ascending
         term order — the oracle's accumulation order) and return the
-        top-k with the deterministic tie-break."""
+        top-k with the deterministic tie-break. ``role_code`` filters
+        hits to one role (fielded search) before the cut — BM25 stats
+        (idf, avgdl) stay corpus-global by design."""
         cand = np.concatenate(id_chunks)
         contrib = np.concatenate(sc_chunks)
         uniq, inv = np.unique(cand, return_inverse=True)
         acc = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(acc, inv, contrib)  # sequential adds in term-asc order
         pos = np.searchsorted(self.doc_ids, uniq)
+        if role_code is not None and self.role_code is not None:
+            keep = self.role_code[pos] == role_code
+            pos, acc = pos[keep], acc[keep]
         return self._take_topk(pos, acc, k)
 
     def _take_topk(self, pos: np.ndarray, acc: np.ndarray, k: int):
@@ -463,9 +481,20 @@ class ShardIndex:
         skips = skips_from_bytes(self.tables[ti]["skips"][row].as_buffer())
         return float(skips["max_tf"].max()) if skips.size else 0.0
 
-    def score_topk(self, terms: list[str], idfs: list[float], k: int, prune: bool = True):
+    def score_topk(
+        self,
+        terms: list[str],
+        idfs: list[float],
+        k: int,
+        prune: bool = True,
+        role: str | None = None,
+    ):
         """Exact shard-local top-k. ``terms`` must be ascending (the
         canonical accumulation order shared with the oracle).
+        ``role`` filters hits to that role (requires with_role builds);
+        pruning is disabled under a filter — the MaxScore threshold
+        would be computed over unfiltered docs and could prune filtered
+        winners.
 
         With ``prune=True`` (default) a MaxScore/block-max pass skips
         posting runs and blocks that provably cannot reach the top-k:
@@ -482,14 +511,20 @@ class ShardIndex:
         run_lists = [self.term_runs(t) for t in terms]
         n_terms = len(terms)
         self.last_prune_stats = {}
+        role_code = None
+        if role is not None:
+            if self.role_code is None or role not in self.role_index:
+                return [], [], []  # no such role in this shard / no role data
+            role_code = self.role_index[role]
         if (
             not prune
+            or role_code is not None
             or k <= 0
             or n_terms < 2
             or self.doc_ids.size == 0
             or any(i <= 0.0 for i in idfs)
         ):
-            return self._score_full(run_lists, idfs, k)
+            return self._score_full(run_lists, idfs, k, role_code=role_code)
 
         # term-level upper bounds from block maxima
         ubs = np.zeros(n_terms, dtype=np.float64)
@@ -706,7 +741,9 @@ class ShardIndex:
         conv = [self._conv[int(i)].as_py() for i in sel]
         return conv, self.turn[sel].tolist()
 
-    def _score_full(self, run_lists, idfs, k, pre: dict | None = None):
+    def _score_full(
+        self, run_lists, idfs, k, pre: dict | None = None, role_code: int | None = None
+    ):
         """Full OR evaluation (every run decoded) — the no-prune path."""
         id_chunks, sc_chunks = [], []
         for t, (runs, t_idf) in enumerate(zip(run_lists, idfs)):
@@ -722,7 +759,7 @@ class ShardIndex:
                     sc_chunks.append(r[1])
         if not id_chunks:
             return [], [], []
-        return self._rank(id_chunks, sc_chunks, k)
+        return self._rank(id_chunks, sc_chunks, k, role_code=role_code)
 
 
 class ShardSearcher:
@@ -731,8 +768,8 @@ class ShardSearcher:
     def __init__(self, index_dir: str, salts: list[int]):
         self.shard = ShardIndex(index_dir, salts)
 
-    def score_topk(self, terms, idfs, k, prune: bool = True):
-        return self.shard.score_topk(terms, idfs, k, prune=prune)
+    def score_topk(self, terms, idfs, k, prune: bool = True, role: str | None = None):
+        return self.shard.score_topk(terms, idfs, k, prune=prune, role=role)
 
     def score_topk_vsm(self, terms, idfs, qweights, qnorm, k):
         return self.shard.score_topk_vsm(terms, idfs, qweights, qnorm, k)
@@ -773,7 +810,9 @@ class SearchEngine:
         ]
         ray.get([a.ready.remote() for a in self.actors])
 
-    def search(self, query: str, k: int = 10, prune: bool = True) -> list[Hit]:
+    def search(
+        self, query: str, k: int = 10, prune: bool = True, role: str | None = None
+    ) -> list[Hit]:
         import ray
 
         terms_all = analyze_query(query, self.analyzer_cfg)
@@ -786,7 +825,10 @@ class SearchEngine:
         if not terms:
             return []
         parts = ray.get(
-            [a.score_topk.remote(terms, idfs, k, prune=prune) for a in self.actors]
+            [
+                a.score_topk.remote(terms, idfs, k, prune=prune, role=role)
+                for a in self.actors
+            ]
         )
         merged: list[Hit] = []
         for conv, turn, score in parts:
@@ -895,7 +937,9 @@ class LocalSearchEngine:
         # a corpus with zero postings writes no term_stats at all
         self.df = TermDirectory(ts_dir) if os.path.isdir(ts_dir) else {}
 
-    def search(self, query: str, k: int = 10, prune: bool = True) -> list[Hit]:
+    def search(
+        self, query: str, k: int = 10, prune: bool = True, role: str | None = None
+    ) -> list[Hit]:
         terms_all = analyze_query(query, self.analyzer_cfg)
         terms, idfs = [], []
         for t in terms_all:
@@ -905,7 +949,7 @@ class LocalSearchEngine:
                 idfs.append(bm25_idf(float(self.n_docs), df))
         if not terms:
             return []
-        conv, turn, score = self.shard.score_topk(terms, idfs, k, prune=prune)
+        conv, turn, score = self.shard.score_topk(terms, idfs, k, prune=prune, role=role)
         return [Hit(c, int(t), float(s)) for c, t, s in zip(conv, turn, score)]
 
     def search_vsm(self, query: str, k: int = 10) -> list[Hit]:
