@@ -22,6 +22,12 @@ def main() -> None:
     ap.add_argument("--model", choices=["bm25", "vsm", "existential"], default="bm25")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--no-prune", action="store_true", help="disable block-max pruning")
+    ap.add_argument("--role", default=None, help="filter hits to this role (with_role builds)")
+    ap.add_argument(
+        "--snippets",
+        action="store_true",
+        help="include highlighted snippets (store_text builds)",
+    )
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
@@ -34,29 +40,26 @@ def main() -> None:
             kw["num_cpus"] = args.num_cpus
         ray.init(**kw)
 
-    from themis_search_engine_ray.state.searcher import SearchEngine
+    from themis_search_engine_ray.state.searcher import SearchEngine, snippets
 
     eng = SearchEngine(args.index)
     try:
         for q in args.queries:
             if args.model == "bm25":
-                hits = eng.search(q, k=args.k, prune=not args.no_prune)
+                hits = eng.search(q, k=args.k, prune=not args.no_prune, role=args.role)
             elif args.model == "vsm":
                 hits = eng.search_vsm(q, k=args.k)
             else:
                 hits = eng.search_existential(q, k=args.k)
-            print(
-                json.dumps(
-                    {
-                        "query": q,
-                        "model": args.model,
-                        "hits": [
-                            {"conv_id": h.conv_id, "turn_idx": h.turn_idx, "score": h.score}
-                            for h in hits
-                        ],
-                    }
-                )
-            )
+            rows = [
+                {"conv_id": h.conv_id, "turn_idx": h.turn_idx, "score": h.score}
+                for h in hits
+            ]
+            if args.snippets and hits:
+                snips = snippets(args.index, hits, q)
+                for r in rows:
+                    r["snippet"] = snips.get((r["conv_id"], r["turn_idx"]))
+            print(json.dumps({"query": q, "model": args.model, "hits": rows}))
     finally:
         eng.close()
 
