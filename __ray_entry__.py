@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_nostem": fulltext.term_df_nostem,
         "term_df": fulltext.term_df,
         "bm25_all_nostem": fulltext.bm25_all_nostem,
+        "bm25_role_nostem": fulltext.bm25_role_nostem,
         "bm25_all_abs_nostem": fulltext.bm25_all_abs_nostem,
         "bm25_topk": fulltext.bm25_topk,
         "vsm_all_nostem": fulltext.vsm_all_nostem,
@@ -208,7 +209,29 @@ def _phrase_values() -> str:
 def oracle_sql() -> dict[str, str]:
     stop = _stoplist_sql()
     return {
-        "turns_passthrough": f"WITH {_TURNS_CTE} SELECT conv_id, turn_idx, text FROM turns",
+        "turns_passthrough": (
+            f"WITH {_TURNS_CTE} SELECT conv_id, turn_idx, text, role FROM turns"
+        ),
+        "bm25_role_nostem": (
+            f"WITH {_TURNS_CTE}, {_TOKS_CTE}, {_counts_cte()}, {_DOCSTATS_CTE}, "
+            "tfs AS (SELECT c.conv_id, c.turn_idx, c.tok, c.c * 1.0 / d.maxc AS tf, "
+            "        CAST(d.dl AS DOUBLE) AS dl FROM counts c JOIN docstats d "
+            "        ON c.conv_id = d.conv_id AND c.turn_idx = d.turn_idx), "
+            "dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tfs GROUP BY tok), "
+            "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM turns), "
+            "avg AS (SELECT (SELECT coalesce(sum(CAST(dl AS DOUBLE)), 0) FROM docstats) / (SELECT n FROM n) AS avgdl), "
+            f"qs(qid, qtext) AS (VALUES {_queries_values()}), "
+            "qtok AS (SELECT qid, unnest(list_filter(string_split_regex("
+            "lower(regexp_replace(qtext, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '')) AS tok FROM qs), "
+            f"qterms AS (SELECT DISTINCT qid, tok FROM qtok WHERE tok NOT IN ({stop})) "
+            "SELECT CAST(q.qid AS BIGINT) AS qid, t.conv_id, t.turn_idx, "
+            "round(sum((ln((n.n - d.df + 0.5) / (d.df + 0.5)) / ln(2)) * "
+            "(t.tf * 3.0) / (t.tf + 2.0 * (0.25 + 0.75 * (t.dl / avg.avgdl)))), 4) AS score "
+            "FROM qterms q JOIN tfs t ON t.tok = q.tok JOIN dfs d ON d.tok = q.tok "
+            "JOIN turns tu ON tu.conv_id = t.conv_id AND tu.turn_idx = t.turn_idx "
+            "AND tu.role = 'assistant', n, avg "
+            "GROUP BY 1, 2, 3"
+        ),
         "doc_stats": (
             f"WITH {_TURNS_CTE}, {_TOKS_CTE}, {_counts_cte()}, {_DOCSTATS_CTE} "
             "SELECT t.conv_id, t.turn_idx, CAST(coalesce(d.dl, 0) AS INTEGER) AS dl "

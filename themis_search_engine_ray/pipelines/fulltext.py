@@ -48,23 +48,21 @@ PHRASE_QUERIES = [
 BASE_TMP = "/tmp/themis_idx_cache"
 
 
-_LAYOUT_VERSION = 2  # bump when the on-disk index layout changes
+_LAYOUT_VERSION = 3  # bump when the on-disk index layout changes
 
 
-def _index_dir(sf_dir: str, cfg: AnalyzerConfig) -> str:
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{cfg.fingerprint}|v{_LAYOUT_VERSION}".encode()
-    ).hexdigest()[:16]
-    return os.path.join(BASE_TMP, key)
-
-
-def build_or_get_index(sf_dir: str, cfg: AnalyzerConfig):
+def build_or_get_index(sf_dir: str, cfg: AnalyzerConfig, with_role: bool = False):
     """Build (or reuse via manifest-resume) the index for sf_dir's derived
     transcripts under /tmp; returns index dir."""
     from .index_build import BuildConfig, build_index
 
-    idx = _index_dir(sf_dir, cfg)
-    bcfg = BuildConfig(salt_bits=2, term_parts=4, num_partitions=1, analyzer=cfg)
+    bcfg = BuildConfig(
+        salt_bits=2, term_parts=4, num_partitions=1, analyzer=cfg, with_role=with_role
+    )
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{bcfg.fingerprint()}|v{_LAYOUT_VERSION}".encode()
+    ).hexdigest()[:16]
+    idx = os.path.join(BASE_TMP, key)
     # materialize derived transcripts once next to the index (lineage input)
     turns_dir = os.path.join(idx, "turns")
     if not os.path.isdir(turns_dir) or not os.listdir(turns_dir):
@@ -154,6 +152,26 @@ def bm25_all_nostem(sf_dir: str):
     scores rounded to 4 (SQL-oracle-checkable; no top-k boundary)."""
     df = _bm25(sf_dir, AnalyzerConfig(use_stemmer=False), k=None, round_to=4)
     return df.drop(columns=["rank"])
+
+
+def bm25_role_nostem(sf_dir: str, role: str = "assistant"):
+    """Role-filtered BM25 (fielded search): all OR-matched docs of one
+    role, stemmer off, rounded to 4 (SQL-oracle-checkable — the filter
+    commutes with scoring, BM25 stats stay corpus-global)."""
+    import pandas as pd
+
+    from ..state.searcher import LocalSearchEngine
+
+    idx = build_or_get_index(sf_dir, AnalyzerConfig(use_stemmer=False), with_role=True)
+    eng = LocalSearchEngine(idx)
+    rows = []
+    for qid, q in enumerate(EVAL_QUERIES):
+        for h in eng.search(q, k=1 << 30, role=role):
+            rows.append((qid, h.conv_id, h.turn_idx, round_half_up(h.score, 4)))
+    df = pd.DataFrame(rows, columns=["qid", "conv_id", "turn_idx", "score"])
+    df["qid"] = df["qid"].astype("int64")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
 
 
 def bm25_all_abs_nostem(sf_dir: str):

@@ -204,10 +204,12 @@ TURNS_PER_CONV = 8  # documents-derivation fanout (fixed, mirrored in SQL)
 def derive_sql_cte() -> str:
     """SQL producing the same transcripts the engine derives from the
     pre-registered ``documents`` view — keep in lockstep with
-    :func:`from_documents`."""
+    :func:`from_documents` (role = _ROLES[turn_idx % 4], like the
+    synthetic generator)."""
     return (
         "SELECT 'conv-' || lpad(CAST(doc_id // {n} AS VARCHAR), 8, '0') AS conv_id, "
-        "CAST(doc_id % {n} AS INTEGER) AS turn_idx, text "
+        "CAST(doc_id % {n} AS INTEGER) AS turn_idx, text, "
+        "['user', 'assistant', 'system', 'tool'][(doc_id % {n}) % 4 + 1] AS role "
         "FROM documents"
     ).format(n=TURNS_PER_CONV)
 
@@ -215,19 +217,22 @@ def derive_sql_cte() -> str:
 def from_documents(sf_dir: str):
     """Derive a transcript Dataset from ``{sf_dir}/documents.parquet``:
     conv_id groups every TURNS_PER_CONV docs, text is passed through
-    unchanged (per-turn text equality vs the ``documents`` view)."""
+    unchanged (per-turn text equality vs the ``documents`` view), role
+    cycles through _ROLES by turn (mirrored in derive_sql_cte)."""
     import ray.data as rd
 
     def derive(batch: pa.Table) -> pa.Table:
         doc_id = batch["doc_id"].to_numpy()
         conv = [f"conv-{d // TURNS_PER_CONV:08d}" for d in doc_id]
+        turn = (doc_id % TURNS_PER_CONV).astype(np.int32)
         return pa.Table.from_arrays(
             [
                 pa.array(conv, pa.string()),
-                pa.array((doc_id % TURNS_PER_CONV).astype(np.int32)),
+                pa.array(turn),
                 batch["text"],
+                pa.array([_ROLES[int(t) % len(_ROLES)] for t in turn], pa.string()),
             ],
-            names=["conv_id", "turn_idx", "text"],
+            names=["conv_id", "turn_idx", "text", "role"],
         )
 
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
