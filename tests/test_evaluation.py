@@ -131,7 +131,7 @@ def test_batch_eval_all_models_run(built):
     judged = [
         JudgedQuery(qid=0, query="agent data", frequency=1.0, judgments={"c0:0": 0})
     ]
-    for model in ("bm25", "vsm", "existential"):
+    for model in ("bm25", "vsm", "existential", "phrase"):
         if model == "vsm":
             from themis_search_engine_ray.pipelines.index_build import build_norms
 

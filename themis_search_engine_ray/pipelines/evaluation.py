@@ -167,6 +167,8 @@ class QueryScorer:
                 hits = self.engine.search_vsm(q, k=self.k)
             elif self.model == "existential":
                 hits = self.engine.search_existential(q, k=self.k)
+            elif self.model == "phrase":
+                hits = self.engine.search_phrase(q, k=self.k)
             else:
                 raise ValueError(self.model)
             out_ids.append([doc_id_str(h.conv_id, h.turn_idx) for h in hits])

@@ -21,7 +21,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--index", required=True)
     ap.add_argument("--judgments", required=True)
-    ap.add_argument("--model", choices=["bm25", "vsm", "existential"], default="bm25")
+    ap.add_argument("--model", choices=["bm25", "vsm", "existential", "phrase"], default="bm25")
     ap.add_argument("-k", type=int, default=50)
     ap.add_argument("--concurrency", type=int, default=4)
     ap.add_argument("--report", default=None, help="also write a text report here")
