@@ -55,6 +55,13 @@ class BuildConfig:
     num_partitions: int = 1  # build partitions (checkpoint granularity)
     store_text: bool = False  # doc_stats doubles as a doc store (FULL results)
     with_role: bool = False  # carry the role column into doc_stats (fielded search)
+    # "hash": doc_id = blake2b(conv, turn) (stable, shuffle-free; random
+    # ids don't delta-compress). "dense": salt stays the hash's top bits
+    # but the rest is a dense per-salt rank assigned in (file, row)
+    # order via a cheap counting pre-pass — posting gaps then shrink to
+    # ~corpus/salt density and the doc blobs varint-compress 3-5x. The
+    # design point for 10^12 turns (NOTES.md).
+    doc_id_mode: str = "hash"
     # partition pipelines run concurrently (driver threads; each is an
     # independent Ray Data dataset) — overlaps the per-pipeline fixed
     # latency (startup + shuffle barrier) that otherwise serializes;
@@ -69,7 +76,8 @@ class BuildConfig:
         return (
             f"{self.analyzer.fingerprint};salt_bits={self.salt_bits};"
             f"parts={self.term_parts};pos={int(self.with_positions)};"
-            f"text={int(self.store_text)};role={int(self.with_role)}"
+            f"text={int(self.store_text)};role={int(self.with_role)};"
+            f"ids={self.doc_id_mode}"
         )
 
 
@@ -121,8 +129,97 @@ def _atomic_write_json(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+def compute_dense_offsets(files: list[str], salt_bits: int) -> dict:
+    """Counting pre-pass for doc_id_mode="dense": rows per (file, salt)
+    → each file's starting dense rank within every salt. One parallel
+    pass over (conv_id, turn_idx) only; deterministic in file order."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..stages.tokenize import doc_keys_batch
+
+    n_salts = 1 << salt_bits
+    shift = np.uint64(63 - salt_bits)
+
+    def count_file(batch: dict) -> "pa.Table":
+        import pyarrow as pa
+
+        paths, counts = [], []
+        for f in batch["file"]:
+            tab = pq.read_table(f, columns=["conv_id", "turn_idx"])
+            ids = doc_keys_batch(
+                tab["conv_id"].to_pylist(), tab["turn_idx"].to_pylist()
+            )
+            salts = (ids >> shift).astype(np.int64)
+            counts.append(np.bincount(salts, minlength=n_salts).astype(np.int64))
+            paths.append(f)
+        return pa.Table.from_pydict(
+            {
+                "file": pa.array(paths, pa.string()),
+                "counts": pa.array([c.tolist() for c in counts]),
+            }
+        )
+
+    tab = (
+        rd.from_items([{"file": f} for f in files])
+        .map_batches(count_file, batch_size=1)
+        .to_pandas()
+    )
+    by_file = dict(zip(tab["file"], tab["counts"]))
+    offsets: dict[str, list[int]] = {}
+    running = [0] * n_salts
+    for f in files:  # deterministic file order defines the dense ranks
+        offsets[f] = list(running)
+        for s, c in enumerate(by_file[f]):
+            running[s] += int(c)
+    return offsets
+
+
+class _DenseFileReader:
+    """from_items(file) → that file's turns with precomputed dense
+    doc_ids ((salt << shift) + file_offset[salt] + rank-in-file-salt);
+    file row order is definitional, so ids are stable across runs."""
+
+    def __init__(self, salt_bits: int, offsets: dict, columns: list[str]):
+        self.salt_bits = salt_bits
+        self.offsets = offsets
+        self.columns = columns
+
+    def __call__(self, batch: dict) -> "pa.Table":
+        import numpy as np
+        import pyarrow as pa
+
+        from ..stages.tokenize import doc_keys_batch
+
+        out = []
+        shift = np.uint64(63 - self.salt_bits)
+        for f in batch["file"]:
+            tab = pq.read_table(f, columns=self.columns)
+            hids = doc_keys_batch(
+                tab["conv_id"].to_pylist(), tab["turn_idx"].to_pylist()
+            )
+            salts = (hids >> shift).astype(np.int64)
+            # rank of each row within its salt, in file row order
+            order = np.argsort(salts, kind="stable")
+            sorted_salts = salts[order]
+            n = salts.size
+            new = np.empty(n, bool)
+            if n:
+                new[0] = True
+                new[1:] = sorted_salts[1:] != sorted_salts[:-1]
+            group_start = np.repeat(np.flatnonzero(new), np.diff(np.concatenate((np.flatnonzero(new), [n]))))
+            within = np.arange(n, dtype=np.int64) - group_start
+            rank = np.empty(n, np.int64)
+            rank[order] = within
+            base = np.asarray(self.offsets[f], np.int64)[salts]
+            dense = (salts.astype(np.uint64) << shift) + (base + rank).astype(np.uint64)
+            out.append(tab.append_column("doc_id", pa.array(dense.astype(np.int64))))
+        return pa.concat_tables(out)
+
+
 def build_partition(
-    pid: int, files: list[str], out_dir: str, cfg: BuildConfig
+    pid: int, files: list[str], out_dir: str, cfg: BuildConfig,
+    dense_offsets: dict | None = None,
 ) -> dict:
     """Build one partition's doc_stats + segments; return its manifest."""
     import ray.data as rd
@@ -142,7 +239,14 @@ def build_partition(
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     nblocks = max(2 * ncpu, len(files))
     cols = ["conv_id", "turn_idx", "text"] + (["role"] if cfg.with_role else [])
-    turns = rd.read_parquet(files, columns=cols, override_num_blocks=nblocks)
+    if cfg.doc_id_mode == "dense":
+        # per-file tasks: file row order defines the dense ranks
+        # (parallelism = #files; dense mode targets many-file corpora)
+        turns = rd.from_items([{"file": f} for f in files]).map_batches(
+            _DenseFileReader(cfg.salt_bits, dense_offsets, cols), batch_size=1
+        )
+    else:
+        turns = rd.read_parquet(files, columns=cols, override_num_blocks=nblocks)
 
     # ONE pass: posting fragments + packed doc-stat rows from the same
     # analyze, ONE groupby(gkey) shuffle routing both to their writers
@@ -218,9 +322,17 @@ def build_index(
                 continue  # checkpointed partition: skip (resume)
         todo.append((pid, pfiles, mpath))
 
+    dense_offsets = None
+    if todo and cfg.doc_id_mode == "dense":
+        # global counting pass over ALL files (dense ranks must be
+        # consistent across partitions and across resumes)
+        dense_offsets = compute_dense_offsets(files, cfg.salt_bits)
+
     if len(todo) <= 1 or cfg.build_concurrency <= 1:
         for pid, pfiles, mpath in todo:
-            _atomic_write_json(mpath, build_partition(pid, pfiles, out_dir, cfg))
+            _atomic_write_json(
+                mpath, build_partition(pid, pfiles, out_dir, cfg, dense_offsets)
+            )
             built += 1
     else:
         from concurrent.futures import ThreadPoolExecutor, as_completed
@@ -229,7 +341,9 @@ def build_index(
 
         with ThreadPoolExecutor(min(cfg.build_concurrency, len(todo))) as ex:
             futs = {
-                ex.submit(build_partition, pid, pfiles, out_dir, cfg): mpath
+                ex.submit(
+                    build_partition, pid, pfiles, out_dir, cfg, dense_offsets
+                ): mpath
                 for pid, pfiles, mpath in todo
             }
             for fut in as_completed(futs):

@@ -166,7 +166,12 @@ class FragmentBatcher:
         conv = batch["conv_id"].to_pylist()
         turn = batch["turn_idx"].to_pylist()
         texts = batch["text"].to_pylist()
-        ids = doc_keys_batch(conv, turn)
+        if "doc_id" in batch.column_names:
+            # precomputed ids (dense assignment — index_build's
+            # doc_id_mode="dense"); top salt_bits must still be the salt
+            ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        else:
+            ids = doc_keys_batch(conv, turn)
         shift = np.uint64(63 - self.salt_bits)
 
         # term -> ([doc_id], [tf], [positions])
