@@ -97,6 +97,22 @@ def test_dense_compresses_doc_blobs(built):
     assert dense_bytes * 3 < hash_bytes  # ≥3x smaller doc blobs
 
 
+def test_dense_survives_compaction(built):
+    from themis_search_engine_ray.pipelines.index_build import compact_index
+
+    _, dense_idx, _, oracle = built
+    before = [
+        (h.conv_id, h.turn_idx, h.score)
+        for h in LocalSearchEngine(dense_idx).search(QUERIES[0], k=15)
+    ]
+    compact_index(dense_idx)
+    after = [
+        (h.conv_id, h.turn_idx, h.score)
+        for h in LocalSearchEngine(dense_idx).search(QUERIES[0], k=15)
+    ]
+    assert before == after
+
+
 def test_dense_rebuild_is_stable(built, tmp_path):
     corpus, dense_idx, _, _ = built
     idx2 = str(tmp_path / "dense2")

@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--term-parts", type=int, default=8, help="term-hash parts per shard")
     ap.add_argument("--batch-size", type=int, default=2048)
     ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument(
+        "--doc-id-mode",
+        choices=["hash", "dense"],
+        default="hash",
+        help="dense = counting pre-pass + per-salt dense ranks (smaller index)",
+    )
     ap.add_argument("--norms", action="store_true", help="also build VSM doc norms")
     ap.add_argument(
         "--compact",
@@ -62,6 +68,7 @@ def main() -> None:
         num_partitions=args.partitions,
         batch_size=args.batch_size,
         with_positions=not args.no_positions,
+        doc_id_mode=args.doc_id_mode,
     )
     t0 = time.time()
     meta = build_index(args.input, args.out, cfg)
