@@ -564,7 +564,12 @@ def compact_index(index_dir: str) -> str:
         .to_pandas()
     )
 
-    # doc stats: one merged file per salt under compacted/doc_stats
+    # doc stats: one merged file per salt under compacted/doc_stats,
+    # carrying a precomputed GLOBAL (conv asc, turn asc) tie-break
+    # ordinal so serving never has to materialize conv strings to sort
+    # (valid across any actor packing of salts because the ordinal is
+    # global, not per-salt). At 10^12 docs this sort becomes a Ray
+    # ds.sort + per-block offset pass instead of a driver concat.
     out_ds = os.path.join(tmp_root, "doc_stats")
     salts = set()
     for dsd in ds_dirs:
@@ -573,16 +578,32 @@ def compact_index(index_dir: str) -> str:
                 salts.add(sdir)
     import pyarrow as pa
 
+    per_salt: dict[str, pa.Table] = {}
     for sdir in sorted(salts):
         frames = [
             pads.dataset(os.path.join(dsd, sdir), format="parquet").to_table()
             for dsd in ds_dirs
             if os.path.isdir(os.path.join(dsd, sdir))
         ]
-        tab = pa.concat_tables(frames)
-        odir = os.path.join(out_ds, sdir)
-        os.makedirs(odir, exist_ok=True)
-        pq.write_table(tab, os.path.join(odir, "docstats.parquet"))
+        per_salt[sdir] = pa.concat_tables(frames, promote_options="default")
+    if per_salt:
+        all_conv = np.concatenate(
+            [np.asarray(t["conv_id"].to_pylist(), dtype=object) for t in per_salt.values()]
+        )
+        all_turn = np.concatenate(
+            [t["turn_idx"].to_numpy() for t in per_salt.values()]
+        )
+        order = np.lexsort((all_turn, all_conv))
+        ordinal = np.empty(all_conv.size, np.int64)
+        ordinal[order] = np.arange(all_conv.size, dtype=np.int64)
+        off = 0
+        for sdir, tab in per_salt.items():
+            n = tab.num_rows
+            tab = tab.append_column("tiebreak", pa.array(ordinal[off : off + n]))
+            off += n
+            odir = os.path.join(out_ds, sdir)
+            os.makedirs(odir, exist_ok=True)
+            pq.write_table(tab, os.path.join(odir, "docstats.parquet"))
 
     _atomic_write_json(
         os.path.join(tmp_root, "compaction.json"),

@@ -248,8 +248,9 @@ class ShardIndex:
                 if os.path.isdir(sdir):
                     dset = pads.dataset(sdir, format="parquet")
                     cols = ["doc_id", "conv_id", "turn_idx", "dl"]
-                    if "role" in dset.schema.names:
-                        cols.append("role")
+                    for opt in ("role", "tiebreak"):
+                        if opt in dset.schema.names:
+                            cols.append(opt)
                     frames.append(dset.to_table(columns=cols))
         import pyarrow as pa
 
@@ -271,10 +272,14 @@ class ShardIndex:
                     conv_arr.chunk(0) if conv_arr.num_chunks else pa.array([], pa.string())
                 )
             self._conv = conv_arr
-            conv_obj = np.asarray(self._conv.to_pylist(), dtype=object)
-            tb_order = np.lexsort((self.turn, conv_obj))
-            self.tiebreak = np.empty(ids.size, np.int64)
-            self.tiebreak[tb_order] = np.arange(ids.size, dtype=np.int64)
+            if "tiebreak" in stats.column_names:
+                # compaction precomputed the global (conv, turn) ordinal
+                self.tiebreak = stats["tiebreak"].to_numpy().astype(np.int64)[order]
+            else:
+                conv_obj = np.asarray(self._conv.to_pylist(), dtype=object)
+                tb_order = np.lexsort((self.turn, conv_obj))
+                self.tiebreak = np.empty(ids.size, np.int64)
+                self.tiebreak[tb_order] = np.arange(ids.size, dtype=np.int64)
             # role codes for fielded filtering (indexes built with_role)
             self.role_index: dict[str, int] = {}
             self.role_code = None
