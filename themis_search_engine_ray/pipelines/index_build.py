@@ -358,6 +358,59 @@ def build_index(
     return meta
 
 
+def append_to_index(
+    index_dir: str, input_path: str | list[str], cfg: BuildConfig | None = None
+) -> dict:
+    """Incrementally ingest new turns into an existing index.
+
+    New input files become new build partitions (ids continue after the
+    existing ones); finalize re-aggregates term_stats and corpus stats,
+    so BM25 idf/avgdl reflect the combined corpus. Derived artifacts
+    that would be stale — ``compacted/`` and ``norms/`` — are removed
+    (rerun compact_index / build_norms afterwards if needed).
+
+    Constraints: the config fingerprint must match the existing index
+    (mixing analyzers would corrupt semantics), and dense doc-id mode is
+    not appendable (its per-salt ranks are assigned over the original
+    file list) — build with the default hash ids to append.
+    """
+    import shutil
+
+    cfg = cfg or BuildConfig()
+    meta = load_meta(index_dir)
+    if meta["config_fingerprint"] != cfg.fingerprint():
+        raise ValueError(
+            f"config mismatch: index={meta['config_fingerprint']!r} "
+            f"append={cfg.fingerprint()!r}"
+        )
+    if cfg.doc_id_mode == "dense":
+        raise ValueError("doc_id_mode='dense' indexes are not appendable")
+
+    man_dir = os.path.join(index_dir, "manifest")
+    existing = sorted(f for f in os.listdir(man_dir) if f.endswith(".json"))
+    next_pid = len(existing)
+    new_files = _list_input_files(input_path)
+    # skip files any existing partition already ingested (idempotence)
+    seen: set[str] = set()
+    for f in existing:
+        with open(os.path.join(man_dir, f)) as fh:
+            seen.update(json.load(fh)["input_files"])
+    new_files = [f for f in new_files if f not in seen]
+
+    for i, f in enumerate(new_files):
+        pid = next_pid + i
+        manifest = build_partition(pid, [f], index_dir, cfg)
+        _atomic_write_json(os.path.join(man_dir, f"p{pid:05d}.json"), manifest)
+
+    # stale derived artifacts
+    shutil.rmtree(os.path.join(index_dir, "compacted"), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "norms"), ignore_errors=True)
+
+    meta = finalize_index(index_dir, cfg, n_partitions=next_pid + len(new_files))
+    meta["appended_files"] = len(new_files)
+    return meta
+
+
 def finalize_index(out_dir: str, cfg: BuildConfig, n_partitions: int) -> dict:
     """Global term df aggregation + corpus stats; idempotent."""
     import ray.data as rd
@@ -382,6 +435,10 @@ def finalize_index(out_dir: str, cfg: BuildConfig, n_partitions: int) -> dict:
 
     ts_dir = os.path.join(out_dir, "term_stats")
     if seg_files:
+        import shutil
+
+        tmp_ts = ts_dir + ".tmp"
+        shutil.rmtree(tmp_ts, ignore_errors=True)
         (
             rd.read_parquet(seg_files, columns=["term", "df"])
             .groupby("term")
@@ -391,8 +448,13 @@ def finalize_index(out_dir: str, cfg: BuildConfig, n_partitions: int) -> dict:
             # loads its whole vocabulary into a HashMap; at 10^8+ terms
             # that is the wrong trade)
             .sort("term")
-            .write_parquet(ts_dir)
+            .write_parquet(tmp_ts)
         )
+        # tmp + swap: a re-finalize (e.g. append_to_index) must REPLACE
+        # the directory — write_parquet into an existing dir adds files,
+        # which would double-count df
+        shutil.rmtree(ts_dir, ignore_errors=True)
+        os.replace(tmp_ts, ts_dir)
 
     meta = {
         "version": 1,
