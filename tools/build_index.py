@@ -44,6 +44,11 @@ def main() -> None:
         action="store_true",
         help="merge per-partition posting runs into one segment per gkey",
     )
+    ap.add_argument(
+        "--append",
+        action="store_true",
+        help="incrementally add --input to an existing --out index",
+    )
     ap.add_argument("--num-cpus", type=int, default=None, help="standalone-mode cpus")
     args = ap.parse_args()
 
@@ -57,6 +62,7 @@ def main() -> None:
 
     from themis_search_engine_ray.pipelines.index_build import (
         BuildConfig,
+        append_to_index,
         build_index,
         build_norms,
         compact_index,
@@ -71,7 +77,10 @@ def main() -> None:
         doc_id_mode=args.doc_id_mode,
     )
     t0 = time.time()
-    meta = build_index(args.input, args.out, cfg)
+    if args.append:
+        meta = append_to_index(args.out, args.input, cfg)
+    else:
+        meta = build_index(args.input, args.out, cfg)
     if args.norms:
         build_norms(args.out)
     if args.compact:
