@@ -93,13 +93,27 @@ class DocTerms:
     max_tf: float  # max_fieldfreq used for normalization
 
 
+# Plain-dict stem memo: the build calls the stemmer once per (doc, raw
+# term) — tens of millions of calls whose lru_cache wrapper overhead
+# (~1.2 µs/hit, profiled at ~10% of the whole build) dwarfs a dict get.
+# Bounded so an adversarial vocabulary can't grow worker heaps.
+_STEM_CACHE: dict[str, str] = {}
+_STEM_CACHE_MAX = 1 << 21
+
+
 def analyze_doc(text: str, config: AnalyzerConfig = DEFAULT_CONFIG) -> DocTerms:
     """Analyze one document exactly like the reference build loop.
 
     Mirrors Indexer.java:286-418 for a single-field document (our corpus
     has one text field per turn, vs the reference's title/abstract/...).
     """
-    toks = tokenize(text)
+    return analyze_tokens(tokenize(text), config)
+
+
+def analyze_tokens(toks: list[str], config: AnalyzerConfig = DEFAULT_CONFIG) -> DocTerms:
+    """analyze_doc over pre-normalized tokens (``tokenize(text)``) — the
+    build batch-normalizes whole Arrow columns with C++ kernels (see
+    stages.tokenize.normalize_column) and feeds the split tokens here."""
     use_stop = config.use_stopwords
     use_stem = config.use_stemmer
 
@@ -120,9 +134,17 @@ def analyze_doc(text: str, config: AnalyzerConfig = DEFAULT_CONFIG) -> DocTerms:
     stem_counts: dict[str, int] = {}
     stem_rawn: dict[str, int] = {}
     stem_positions: dict[str, list[int]] = {}
+    stem_cache = _STEM_CACHE
     dl = 0
     for t, c in counts.items():
-        s = stem_token(t) if use_stem else t
+        if use_stem:
+            s = stem_cache.get(t)
+            if s is None:
+                s = stem_token(t)
+                if len(stem_cache) < _STEM_CACHE_MAX:
+                    stem_cache[t] = s
+        else:
+            s = t
         dl += c
         if s in stem_counts:
             stem_counts[s] += c

@@ -52,6 +52,7 @@ class BuildConfig:
     with_positions: bool = True
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
     batch_size: int = 1024  # turns per tokenize batch
+    read_chunk_rows: int = 16384  # rows per read chunk (scan parallelism unit)
     num_partitions: int = 1  # build partitions (checkpoint granularity)
     store_text: bool = False  # doc_stats doubles as a doc store (FULL results)
     with_role: bool = False  # carry the role column into doc_stats (fielded search)
@@ -162,7 +163,7 @@ def compute_dense_offsets(files: list[str], salt_bits: int) -> dict:
 
     tab = (
         rd.from_items([{"file": f} for f in files])
-        .map_batches(count_file, batch_size=1)
+        .map_batches(count_file)
         .to_pandas()
     )
     by_file = dict(zip(tab["file"], tab["counts"]))
@@ -217,6 +218,76 @@ class _DenseFileReader:
         return pa.concat_tables(out)
 
 
+def _plan_read_chunks(files: list[str], target_rows: int) -> list[dict]:
+    """Split the input files into row-group-aligned read chunks of
+    ~target_rows each — the unit of read+analyze parallelism.
+
+    Ray's own read_parquet plans its read tasks from driver-side footer
+    metadata too, but for small per-partition file lists it collapses to
+    a single read task (measured: one 4.6 s serial read per partition at
+    32 CPUs); explicit chunks keep the scan parallel at any partition
+    size. Footer-only reads: ~1 ms/file on the driver, the same metadata
+    pass read_parquet performs."""
+    chunks: list[dict] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        nrg = md.num_row_groups
+        rg_rows = [md.row_group(i).num_rows for i in range(nrg)]
+        lo = 0
+        while lo < nrg:
+            hi, acc = lo, 0
+            while hi < nrg and acc < target_rows:
+                acc += rg_rows[hi]
+                hi += 1
+            chunks.append({"file": f, "rg_lo": lo, "rg_hi": hi})
+            lo = hi
+    return chunks
+
+
+class _ChunkReader:
+    """Read-chunk items → Arrow turns (used inside _ReadAnalyzeTask)."""
+
+    def __init__(self, columns: list[str]):
+        self.columns = columns
+
+    def __call__(self, batch: dict) -> "pa.Table":
+        import pyarrow as pa
+
+        out = []
+        for f, lo, hi in zip(batch["file"], batch["rg_lo"], batch["rg_hi"]):
+            pf = pq.ParquetFile(f)
+            out.append(pf.read_row_groups(range(int(lo), int(hi)), columns=self.columns))
+        return pa.concat_tables(out)
+
+
+class _ReadAnalyzeTask:
+    """One Ray task per read chunk: read → slice into ``batch_size``-row
+    analyzer batches → FragmentBatcher each → concat fragment rows.
+
+    Composed explicitly instead of two chained ``map_batches`` because
+    Ray fuses them and then applies the downstream ``batch_size`` as a
+    min-rows input-bundling target against the ONE-ROW chunk-item
+    blocks — measured collapse of the whole partition scan to a single
+    task. One UDF with default batching keeps one task per item block
+    while preserving the combiner granularity (slices are zero-copy)."""
+
+    def __init__(self, reader, batcher, batch_size: int):
+        self.reader = reader
+        self.batcher = batcher
+        self.batch_size = batch_size
+
+    def __call__(self, batch: dict) -> "pa.Table":
+        import pyarrow as pa
+
+        from ..stages.tokenize import FRAGMENT_SCHEMA
+
+        turns = self.reader(batch)
+        outs = []
+        for lo in range(0, turns.num_rows, self.batch_size):
+            outs.append(self.batcher(turns.slice(lo, self.batch_size)))
+        return pa.concat_tables(outs) if outs else FRAGMENT_SCHEMA.empty_table()
+
+
 def build_partition(
     pid: int, files: list[str], out_dir: str, cfg: BuildConfig,
     dense_offsets: dict | None = None,
@@ -230,39 +301,32 @@ def build_partition(
     ds_dir = os.path.join(pdir, "doc_stats")
     os.makedirs(seg_dir, exist_ok=True)
 
-    # Read parallelism: the tokenize map fuses into the read tasks, so
-    # one task per *file* would cap the whole build at #files concurrent
-    # CPUs. Ask for >= 2 blocks per CPU (row-group granularity) so the
-    # Python-heavy analyzer stage saturates the cluster.
-    import ray
-
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    nblocks = max(2 * ncpu, len(files))
     cols = ["conv_id", "turn_idx", "text"] + (["role"] if cfg.with_role else [])
+    batcher = FragmentBatcher(
+        cfg.analyzer,
+        cfg.salt_bits,
+        cfg.term_parts,
+        cfg.with_positions,
+        emit_doc_stats=True,
+        store_text=cfg.store_text,
+        with_role=cfg.with_role,
+    )
     if cfg.doc_id_mode == "dense":
         # per-file tasks: file row order defines the dense ranks
         # (parallelism = #files; dense mode targets many-file corpora)
-        turns = rd.from_items([{"file": f} for f in files]).map_batches(
-            _DenseFileReader(cfg.salt_bits, dense_offsets, cols), batch_size=1
-        )
+        items = [{"file": f} for f in files]
+        reader = _DenseFileReader(cfg.salt_bits, dense_offsets, cols)
     else:
-        turns = rd.read_parquet(files, columns=cols, override_num_blocks=nblocks)
+        # Row-group-chunked scan (see _plan_read_chunks): read+analyze
+        # parallelism stays >= chunk count even for few-file partitions.
+        items = _plan_read_chunks(files, target_rows=cfg.read_chunk_rows)
+        reader = _ChunkReader(cols)
 
-    # ONE pass: posting fragments + packed doc-stat rows from the same
-    # analyze, ONE groupby(gkey) shuffle routing both to their writers
-    frags = turns.map_batches(
-        FragmentBatcher(
-            cfg.analyzer,
-            cfg.salt_bits,
-            cfg.term_parts,
-            cfg.with_positions,
-            emit_doc_stats=True,
-            store_text=cfg.store_text,
-            with_role=cfg.with_role,
-        ),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        zero_copy_batch=True,
+    # ONE pass per chunk: read + posting fragments + packed doc-stat rows
+    # from the same analyze, then ONE groupby(gkey) shuffle routing both
+    # to their writers
+    frags = rd.from_items(items).map_batches(
+        _ReadAnalyzeTask(reader, batcher, cfg.batch_size)
     )
     os.makedirs(ds_dir, exist_ok=True)
     writer = SegmentWriter(seg_dir, cfg.with_positions, ds_dir=ds_dir)
@@ -270,11 +334,10 @@ def build_partition(
     def write_group(group):
         return writer(group)
 
-    manifest_rows = (
-        frags.groupby("gkey")
-        .map_groups(write_group, batch_format="pyarrow")
-        .to_pandas()  # tiny: one row per gkey group
-    )
+    grouped = frags.groupby("gkey").map_groups(write_group, batch_format="pyarrow")
+    manifest_rows = grouped.to_pandas()  # tiny: one row per gkey group
+    if os.environ.get("THEMIS_BUILD_STATS"):
+        print(f"=== partition p{pid} stats ({time.time()-t0:.1f}s) ===\n", grouped.stats(), flush=True)
     segs = manifest_rows[manifest_rows["kind"] == "segment"]
     dstats = manifest_rows[manifest_rows["kind"] == "doc_stats"]
 
@@ -352,7 +415,10 @@ def build_index(
                 _atomic_write_json(futs[fut], fut.result())
                 built += 1
 
+    t_fin = time.time()
     meta = finalize_index(out_dir, cfg, n_partitions=len(parts))
+    if os.environ.get("THEMIS_BUILD_STATS"):
+        print(f"=== finalize {time.time()-t_fin:.1f}s ===", flush=True)
     meta["partitions_built"] = built
     meta["partitions_skipped"] = skipped
     return meta
@@ -437,17 +503,40 @@ def finalize_index(out_dir: str, cfg: BuildConfig, n_partitions: int) -> dict:
     if seg_files:
         import shutil
 
+        import ray
+
         tmp_ts = ts_dir + ".tmp"
         shutil.rmtree(tmp_ts, ignore_errors=True)
+
+        # Chunked partial-df pass: ~2 tasks/CPU each reading a slice of
+        # the segment files' (term, df) columns and pre-summing with the
+        # Arrow groupby kernel, then ONE small groupby(term) shuffle.
+        # (A flat read_parquet here spawned one task per segment file —
+        # hundreds of fixed-overhead tasks plus two sort barriers for a
+        # tiny table; the combiner bounds the shuffle at
+        # #chunks × distinct-terms rows.) No on-disk sort: TermDirectory
+        # re-sorts its Arrow column at load (state/searcher.py).
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        nchunks = max(1, min(len(seg_files), 2 * ncpu))
+        items = [{"files": seg_files[i::nchunks]} for i in range(nchunks)]
+
+        def partial_df(batch: dict) -> "pa.Table":
+            import pyarrow as pa
+
+            tabs = [
+                pq.read_table(f, columns=["term", "df"])
+                for files in batch["files"]
+                for f in files
+            ]
+            cat = pa.concat_tables(tabs)
+            agg = pa.TableGroupBy(cat, "term").aggregate([("df", "sum")])
+            return agg.rename_columns(["term", "df"])
+
         (
-            rd.read_parquet(seg_files, columns=["term", "df"])
+            rd.from_items(items)
+            .map_batches(partial_df)
             .groupby("term")
             .aggregate(Sum("df", alias_name="df"))
-            # sorted term directory → query-time binary search over the
-            # mmap'd column instead of a driver-RAM dict (Indexer.java
-            # loads its whole vocabulary into a HashMap; at 10^8+ terms
-            # that is the wrong trade)
-            .sort("term")
             .write_parquet(tmp_ts)
         )
         # tmp + swap: a re-finalize (e.g. append_to_index) must REPLACE
@@ -622,7 +711,7 @@ def compact_index(index_dir: str) -> str:
     items = [{"gkey": g, "files": f} for g, f in sorted(files_by_gkey.items())]
     stats = (
         rd.from_items(items)
-        .map_batches(compact_group, batch_size=1)
+        .map_batches(compact_group)
         .to_pandas()
     )
 
@@ -810,7 +899,7 @@ def build_norms(index_dir: str) -> str:
     if items:
         (
             rd.from_items(items)
-            .map_batches(w2_partials, batch_size=1)
+            .map_batches(w2_partials)
             .groupby("doc_id")
             .map_groups(norm_group, batch_format="pyarrow")
             .write_parquet(tmp_dir, partition_cols=["salt"])

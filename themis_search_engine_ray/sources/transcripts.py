@@ -184,8 +184,10 @@ def synthetic_dataset(n_turns: int, seed: int = 42, turns_per_block: int = 4096)
             out.append(generate_block(bid, take, seed))
         return pa.concat_tables(out) if out else TRANSCRIPT_SCHEMA.empty_table()
 
+    # no explicit batch_size: Ray would bundle the tiny id blocks into a
+    # handful of tasks; default batching keeps one task per id block
     return rd.range(n_blocks).map_batches(
-        gen, batch_format="pyarrow", batch_size=1, zero_copy_batch=True
+        gen, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
