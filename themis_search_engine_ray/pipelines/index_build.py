@@ -334,7 +334,19 @@ def build_partition(
     def write_group(group):
         return writer(group)
 
-    grouped = frags.groupby("gkey").map_groups(write_group, batch_format="pyarrow")
+    shuffle_env = os.environ.get("THEMIS_SHUFFLE", "")
+    if shuffle_env.startswith("hash"):
+        import ray.data.context as _rctx
+
+        _rctx.DataContext.get_current().shuffle_strategy = (
+            _rctx.ShuffleStrategy.HASH_SHUFFLE
+        )
+        nparts = int(shuffle_env.split(":")[1]) if ":" in shuffle_env else 8
+        grouped = frags.groupby("gkey", num_partitions=nparts).map_groups(
+            write_group, batch_format="pyarrow"
+        )
+    else:
+        grouped = frags.groupby("gkey").map_groups(write_group, batch_format="pyarrow")
     manifest_rows = grouped.to_pandas()  # tiny: one row per gkey group
     if os.environ.get("THEMIS_BUILD_STATS"):
         print(f"=== partition p{pid} stats ({time.time()-t0:.1f}s) ===\n", grouped.stats(), flush=True)

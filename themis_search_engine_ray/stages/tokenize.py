@@ -42,6 +42,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.analyzer import (
+    _STEM_CACHE,
+    _STEM_CACHE_MAX,
     AnalyzerConfig,
     DEFAULT_CONFIG,
     STOPWORDS,
@@ -49,9 +51,10 @@ from ..functions.analyzer import (
     analyze_tokens,
     tokenize,
 )
+from ..functions.porter import stem_token
 
 
-def normalize_column(col) -> list[str]:
+def normalize_column(col, as_arrow: bool = False):
     """Vectorized M1 normalizer over an Arrow string column — row-wise
     identical to ``functions.analyzer.normalize`` (after ``[^a-zA-Z0-9]+``
     → space only ASCII alnum remains, so ``ascii_lower`` ≡ ``str.lower``;
@@ -62,9 +65,148 @@ def normalize_column(col) -> list[str]:
     import pyarrow.compute as pc
 
     filled = pc.fill_null(col, "")
-    return pc.ascii_lower(
+    out = pc.ascii_lower(
         pc.replace_substring_regex(filled, pattern="[^a-zA-Z0-9]+", replacement=" ")
-    ).to_pylist()
+    )
+    return out if as_arrow else out.to_pylist()
+
+
+def _cumsum_excl(counts: np.ndarray) -> np.ndarray:
+    out = np.empty(counts.size, np.int64)
+    if counts.size:
+        out[0] = 0
+        np.cumsum(counts[:-1], out=out[1:])
+    return out
+
+
+def analyze_batch(
+    text_col,
+    config: AnalyzerConfig = DEFAULT_CONFIG,
+    with_positions: bool = True,
+):
+    """Vectorized M1-M8 analysis of a whole Arrow text column.
+
+    Row-for-row identical to ``analyze_tokens(tokenize(text))`` (the
+    per-doc reference-conformant path, Indexer.java:286-418) but with the
+    per-token work done by Arrow/numpy kernels; Python touches only the
+    *unique* tokens of the batch (stem/stopword mapping, memoized
+    module-globally across batches). The tf quirk — ``count`` divided by
+    ``max_fieldfreq`` once per distinct raw term feeding the stem — runs
+    as masked vector divisions, one pass per division round, which is the
+    identical IEEE op sequence per element as the scalar loop.
+
+    Returns ``(dls, pair_doc, pair_stem, stems, pair_count, pair_tf,
+    pos_sorted, pair_pos_start)`` where pairs are (doc, stem) rows sorted
+    by ``(doc, stem)``; ``pos_sorted[pair_pos_start[i] : pair_pos_start[i]
+    + pair_count[i]]`` are pair i's ascending token positions (positions
+    index the normalized token stream *including* stopword slots).
+    """
+    import pyarrow.compute as pc
+
+    stem_cache = _STEM_CACHE
+    use_stop = config.use_stopwords
+    use_stem = config.use_stemmer
+
+    norm = normalize_column(text_col, as_arrow=True)
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    n = len(norm)
+    toks = pc.ascii_split_whitespace(norm)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq: list[str] = enc.dictionary.to_pylist()
+    U = max(1, len(uniq))
+
+    # map each unique token -> local stem id (-1 = dropped). Arrow's
+    # ascii_split_whitespace emits "" for leading/trailing runs that
+    # Python's str.split() never yields — always dropped, and dropped
+    # BEFORE position numbering (stage A below) so positions match the
+    # reference token stream.
+    stems: list[str] = []
+    stem_local: dict[str, int] = {}
+    stem_of = np.empty(len(uniq), np.int64)
+    empty_code = -1
+    for u, tok in enumerate(uniq):
+        if not tok:
+            stem_of[u] = -2  # not-a-token (split artifact)
+            empty_code = u
+            continue
+        if use_stop and tok in STOPWORDS:
+            stem_of[u] = -1  # stopword: occupies a position slot only
+            continue
+        if use_stem:
+            s = stem_cache.get(tok)
+            if s is None:
+                s = stem_token(tok)
+                if len(stem_cache) < _STEM_CACHE_MAX:
+                    stem_cache[tok] = s
+        else:
+            s = tok
+        sid = stem_local.get(s)
+        if sid is None:
+            sid = stem_local[s] = len(stems)
+            stems.append(s)
+        stem_of[u] = sid
+    S = max(1, len(stems))
+
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    # stage A: drop split artifacts, then number positions within doc
+    if empty_code >= 0:
+        real = codes != empty_code
+        codes = codes[real]
+        doc_idx = doc_idx[real]
+        lens = np.bincount(doc_idx, minlength=n)
+    pos_all = np.arange(codes.size, dtype=np.int64) - np.repeat(_cumsum_excl(lens), lens)
+
+    # stage B: drop stopwords (position slots already assigned)
+    sid_all = stem_of[codes]
+    keep = sid_all >= 0
+    kd = doc_idx[keep]
+    ks = sid_all[keep]
+    kc = codes[keep]
+    kpos = pos_all[keep]
+
+    dls = np.bincount(kd, minlength=n).astype(np.float64)
+
+    # group kept tokens by (doc, stem); stable sort keeps positions ascending
+    key = kd * S + ks
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    pos_sorted = kpos[order]
+    ukey, first, pair_count = np.unique(skey, return_index=True, return_counts=True)
+    pair_doc = ukey // S
+    pair_stem = (ukey % S).astype(np.int64)
+    pair_pos_start = first.astype(np.int64)
+
+    # rawn: distinct raw tokens feeding each (doc, stem) pair — via the
+    # distinct (doc, raw-token) keys (max n*U, no 3-way key overflow)
+    urk = np.unique(kd * U + kc)
+    upair = np.searchsorted(ukey, (urk // U) * S + stem_of[urk % U])
+    rawn = np.bincount(upair, minlength=ukey.size)
+
+    # max_fieldfreq per doc (floor 1.0, Indexer.java:287)
+    maxtf_doc = np.ones(n, np.float64)
+    np.maximum.at(maxtf_doc, pair_doc, pair_count.astype(np.float64))
+
+    # sequential divisions, one vector pass per round (Indexer.java:410-418)
+    tf = pair_count.astype(np.float64)
+    mt = maxtf_doc[pair_doc]
+    r = rawn.copy()
+    while True:
+        m = r > 0
+        if not m.any():
+            break
+        tf[m] /= mt[m]
+        r[m] -= 1
+
+    return dls, pair_doc, pair_stem, stems, pair_count.astype(np.int64), tf, pos_sorted, pair_pos_start
 
 
 def doc_key(conv_id: str, turn_idx: int) -> int:
@@ -189,7 +331,6 @@ class FragmentBatcher:
         conv = batch["conv_id"].to_pylist()
         turn = batch["turn_idx"].to_pylist()
         texts = batch["text"].to_pylist()
-        norm_texts = normalize_column(batch["text"])
         if "doc_id" in batch.column_names:
             # precomputed ids (dense assignment — index_build's
             # doc_id_mode="dense"); top salt_bits must still be the salt
@@ -198,60 +339,73 @@ class FragmentBatcher:
             ids = doc_keys_batch(conv, turn)
         shift = np.uint64(63 - self.salt_bits)
         with_pos = self.with_positions
-        cfg = self.config
-
-        # Docs are processed in ascending doc_id order, so every stem's
-        # accumulator arrives pre-sorted (one entry per doc per stem) —
-        # no per-stem argsort, and salt ranges are contiguous by
-        # construction. Positions accumulate FLAT (one array per stem),
-        # not as per-doc lists — per-doc numpy conversions were ~10% of
-        # build CPU. Output fragment content is identical: the writer
-        # merges and (stably) re-sorts runs anyway.
-        order = np.argsort(ids, kind="stable")
-        acc: dict[str, tuple] = {}  # stem -> (docs, tfs, pos_flat, pos_cnt)
-        dls = np.empty(len(texts), dtype=np.float64)
-        for j in order:
-            doc = analyze_tokens(norm_texts[j].split(), cfg)
-            did = int(ids[j])
-            dls[j] = doc.dl
-            for stem, tf in doc.tfs.items():
-                entry = acc.get(stem)
-                if entry is None:
-                    entry = acc[stem] = ([], [], [], [])
-                entry[0].append(did)
-                entry[1].append(tf)
-                if with_pos:
-                    pl = doc.positions[stem]
-                    entry[2].extend(pl)
-                    entry[3].append(len(pl))
-
-        gkeys, salts, terms, docs_b, tfs_b, npos_b, pos_b = [], [], [], [], [], [], []
-        extra_b: list[bytes] = []
         P = self.term_parts
-        for stem, (dlist, tflist, pflat, pcnt) in acc.items():
-            dids = np.asarray(dlist, dtype=np.uint64)  # ascending already
-            tfs = np.asarray(tflist, dtype=np.float64)
-            tsalts = (dids >> shift).astype(np.int64)
-            kp = term_part(stem, P)
-            # split this term's fragment at salt-range boundaries
-            bounds = np.flatnonzero(np.diff(tsalts)) + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [dids.size]))
+
+        # Vectorized M1-M8 over the whole batch (see analyze_batch):
+        # (doc, stem) pair rows with tf / count / flat ascending positions.
+        (
+            dls,
+            pair_doc,
+            pair_stem,
+            stems,
+            pair_count,
+            pair_tf,
+            pos_sorted,
+            pair_pos_start,
+        ) = analyze_batch(batch["text"], self.config, with_pos)
+
+        gkeys: list[int] = []
+        salts: list[int] = []
+        terms: list[str] = []
+        docs_b: list[bytes] = []
+        tfs_b: list[bytes] = []
+        npos_b: list[bytes] = []
+        pos_b: list[bytes] = []
+        extra_b: list[bytes] = []
+
+        if pair_doc.size:
+            # order pairs by (stem, doc_id): per-stem runs arrive doc-
+            # ascending with contiguous salt ranges (salt = top id bits)
+            pdid = ids[pair_doc]
+            o2 = np.lexsort((pdid, pair_stem))
+            f_stem = pair_stem[o2]
+            f_did = pdid[o2]
+            f_tf = pair_tf[o2]
+            f_salt = (f_did >> shift).astype(np.int64)
             if with_pos:
-                cnts = np.asarray(pcnt, dtype=np.uint32)
-                pos_arr = np.asarray(pflat, dtype=np.uint32)
-                pends = np.cumsum(cnts, dtype=np.int64)
+                f_cnt = pair_count[o2].astype(np.uint32)
+                # gather each pair's position slice into fragment order
+                tot = int(pair_count.sum())
+                gidx = (
+                    np.repeat(
+                        pair_pos_start[o2] - _cumsum_excl(pair_count[o2]),
+                        pair_count[o2],
+                    )
+                    + np.arange(tot, dtype=np.int64)
+                )
+                f_pos = pos_sorted[gidx].astype(np.uint32)
+                f_pends = np.cumsum(f_cnt, dtype=np.int64)
+
+            # fragment rows = runs of constant (stem, salt)
+            change = np.empty(f_stem.size, bool)
+            change[0] = True
+            np.not_equal(f_stem[1:], f_stem[:-1], out=change[1:])
+            change[1:] |= f_salt[1:] != f_salt[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.concatenate((starts[1:], [f_stem.size]))
+            kp_of = np.asarray([term_part(s, P) for s in stems], np.int64)
             for lo, hi in zip(starts, ends):
-                s = int(tsalts[lo])
-                gkeys.append(s * P + kp)
+                sid = int(f_stem[lo])
+                s = int(f_salt[lo])
+                gkeys.append(s * P + int(kp_of[sid]))
                 salts.append(s)
-                terms.append(stem)
-                docs_b.append(dids[lo:hi].tobytes())
-                tfs_b.append(tfs[lo:hi].tobytes())
+                terms.append(stems[sid])
+                docs_b.append(f_did[lo:hi].tobytes())
+                tfs_b.append(f_tf[lo:hi].tobytes())
                 if with_pos:
-                    npos_b.append(cnts[lo:hi].tobytes())
-                    plo = 0 if lo == 0 else int(pends[lo - 1])
-                    pos_b.append(pos_arr[plo : int(pends[hi - 1])].tobytes())
+                    npos_b.append(f_cnt[lo:hi].tobytes())
+                    plo = 0 if lo == 0 else int(f_pends[lo - 1])
+                    pos_b.append(f_pos[plo : int(f_pends[hi - 1])].tobytes())
                 else:
                     npos_b.append(b"")
                     pos_b.append(b"")
