@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": dedup.minhash_pairs,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": dedup.embedding_dup_pairs_lsh,
         # ---- similarity search ----
         "knn_brute": similarity.knn_brute,
         "ivf_knn": similarity.ivf_knn,
@@ -488,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # term_df / bm25_topk / vsm_topk (Porter), eval_metrics (IR
         # metrics over engine rankings), minhash/simhash (LSH), lang_id,
-        # fingerprints, ivf_knn, media_features: non-SQL-expressible →
-        # rows-only checks; exactness is covered by pytest oracles.
+        # fingerprints, ivf_knn, embedding_dup_pairs_lsh, media_features:
+        # non-SQL-expressible → rows-only checks; exactness/recall is
+        # covered by pytest oracles.
     }

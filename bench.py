@@ -247,14 +247,15 @@ def run_scaling() -> dict:
     """Headline-pipeline (index build) at 8 vs 32 CPUs, fresh processes,
     same input — the sandbox stand-in for N- vs 4N-node clusters.
 
-    The corpus is sized (default 3.2M turns, RAY_GRAFT_SCALING_TURNS to
-    override) so per-partition compute dominates the fixed per-pipeline
-    latencies (~5 s of startup + shuffle-barrier per run) that no CPU
+    The corpus is sized (default 6.4M turns, RAY_GRAFT_SCALING_TURNS to
+    override) so per-partition compute dominates the fixed per-build
+    latencies (measured ~1.7 s: task submission + finalize) that no CPU
     count can shrink; at bench-size corpora those overheads are the
     whole wall time and "scaling" would measure scheduler latency, not
-    throughput.
+    throughput. This is the regime a 100 TB job on a real cluster runs
+    in permanently.
     """
-    turns = int(os.environ.get("RAY_GRAFT_SCALING_TURNS", str(1_600_000)))
+    turns = int(os.environ.get("RAY_GRAFT_SCALING_TURNS", str(6_400_000)))
     cpu_points = [
         int(c)
         for c in os.environ.get("RAY_GRAFT_SCALING_CPUS", "2,8,32").split(",")

@@ -68,3 +68,29 @@ def test_single_doc_corpus(ray_session, tmp_path):
     ]
     # df == N -> idf = log2(0.5/1.5) < 0 for every term; still exact
     assert got and got[0].conv_id == "solo"
+
+
+def test_ngram_jaccard_hot_shingle_bounded(ray_session, tmp_path):
+    """1,000 identical docs share every shingle: the star cap must keep
+    per-shingle pair emission O(n) (the old clique path emitted ~500k
+    rows per shingle) while still verifying every emitted pair exactly.
+    Components stay connected through the hub doc."""
+    import os
+
+    from themis_search_engine_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    d = str(tmp_path / "hotshingle")
+    os.makedirs(d)
+    rows = [
+        {"doc_id": i, "text": "alpha beta gamma delta epsilon zeta"}
+        for i in range(1000)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), f"{d}/documents.parquet")
+    got = ngram_jaccard_pairs(d, threshold=0.5).to_pandas()
+    hub = int(got["a"].min())
+    assert hub == 0
+    # star: hub connected to every other doc, all at jaccard 1.0
+    assert set(got[got["a"] == hub]["b"]) == set(range(1, 1000))
+    assert (got["jaccard"] == 1.0).all()
+    # bounded: emission is O(n) per shingle, not O(n^2)
+    assert len(got) < 1000 * 8

@@ -197,3 +197,59 @@ def test_quality_and_token_counts_basic():
     q = quality_batch(batch).to_pydict()
     assert q["n_tokens"] == [3, 0]
     assert q["quality_score"][1] == pytest.approx(0.0, abs=1e-9) or q["quality_score"][1] >= 0
+
+
+def test_embedding_exact_is_blocked_and_correct():
+    """The exact embedding pipeline (blocked cross product) must match a
+    driver-side numpy brute force, pair-for-pair and value-for-value."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.functions.rounding import round_half_up
+    from themis_search_engine_ray.pipelines.dedup import embedding_dup_pairs
+
+    got = embedding_dup_pairs(SF, threshold=0.3).to_pandas()
+    tab = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tab["vec_id"].to_numpy()
+    flat = pc.list_flatten(tab["embedding"].combine_chunks()).to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    mat = flat.reshape(len(ids), -1)
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    cos = (mat @ mat.T) / n[:, None] / n[None, :]
+    want = {}
+    ai, bi = np.nonzero(np.triu(cos >= 0.3, k=1))
+    for x, y in zip(ai, bi):
+        a, b = int(ids[x]), int(ids[y])
+        want[(min(a, b), max(a, b))] = float(round_half_up(cos[x, y], 6))
+    got_map = {
+        (int(a), int(b)): float(c)
+        for a, b, c in zip(got["a"], got["b"], got["cosine"])
+    }
+    assert got_map == want
+
+
+def test_embedding_lsh_recall_vs_exact():
+    """LSH variant: perfect precision (verified cosine), measured recall
+    vs the exact pipeline; high-cosine pairs must all be recalled."""
+    from themis_search_engine_ray.pipelines.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    exact = embedding_dup_pairs(SF, threshold=0.3).to_pandas()
+    lsh = embedding_dup_pairs_lsh(SF, threshold=0.3).to_pandas()
+    exact_pairs = _pairs_set(exact)
+    lsh_pairs = _pairs_set(lsh)
+    assert lsh_pairs <= exact_pairs  # precision 1.0 (exact verification)
+    if exact_pairs:
+        recall = len(lsh_pairs) / len(exact_pairs)
+        assert recall >= 0.9, recall
+    # every pair at cosine >= 0.7 must collide in some band
+    strong = {
+        (int(a), int(b))
+        for a, b, c in zip(exact["a"], exact["b"], exact["cosine"])
+        if c >= 0.7
+    }
+    assert strong <= lsh_pairs

@@ -6,11 +6,15 @@ from shuffle-conscious primitives:
 * exact            — content-hash in ``map_batches`` (vectorized md5),
                      then ``groupby(hash).aggregate(Min(id))``; the
                      shuffle moves 16-byte hashes, never text.
-* n-gram Jaccard   — exact all-pairs similarity via a shingle inverted
+* n-gram Jaccard   — all-pairs similarity via a shingle inverted
                      index: (shingle, doc) rows → groupby(shingle) →
-                     pair counts → jaccard filter. Exact but quadratic
-                     in bucket size — at 100 TB run it *after* MinHash
-                     LSH has cut candidates, never standalone.
+                     star-capped candidate pairs → exact-Jaccard
+                     verification. Every emitted (pair, jaccard) is
+                     exact; discovery is complete while every shingle's
+                     posting list stays ≤ _MAX_CLIQUE (guaranteed on
+                     non-degenerate corpora), and degrades to
+                     hub-connected components past it instead of an
+                     O(n²) group task.
 * MinHash + LSH    — shingle → 64-perm minhash signature (vectorized
                      affine hashing) → banded buckets →
                      groupby(band, bucket) candidate pairs → exact
@@ -123,14 +127,16 @@ def exact_dedup(sf_dir: str):
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
-    """Exact all-pairs word-k-gram Jaccard >= threshold.
+    """Word-k-gram Jaccard >= threshold pairs via a shingle inverted index.
 
-    (shingle, doc) inverted index → per-shingle pair emission →
-    pair-count aggregation → jaccard. Bucket-quadratic: see module
-    docstring for the 100 TB usage contract.
+    (shingle, doc) rows → ``groupby(sh)`` candidate emission (star-capped
+    at ``_MAX_CLIQUE`` docs per shingle, same contract as the LSH bucket
+    cap) → candidate dedupe → exact-Jaccard scan verification. Jaccard
+    values are computed from the true shingle sets, so every emitted row
+    is exact; a shingle shared by 100k documents costs O(n) candidate
+    rows instead of an O(n²) clique in one group task.
     """
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         ids, shs = [], []
@@ -143,49 +149,94 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
             names=["doc_id", "sh"],
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    shingle_ds = ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
-
-    # sizes: |shingle set| per doc — small table, broadcast below
-    import ray
-
-    sizes_tab = shingle_ds.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
-    sizes_ref = ray.put(dict(zip(sizes_tab["doc_id"], sizes_tab["n"])))
-
     def emit_pairs(group: pa.Table) -> pa.Table:
         ids = np.sort(np.asarray(group["doc_id"].to_pylist(), dtype=np.int64))
         if ids.size < 2:
             return pa.Table.from_pydict({"a": [], "b": []}).cast(
                 pa.schema([("a", pa.int64()), ("b", pa.int64())])
             )
-        ai, bi = np.triu_indices(ids.size, k=1)
+        ai, bi = _pair_indices(ids.size)
         return pa.Table.from_pydict({"a": ids[ai], "b": ids[bi]})
 
-    pair_counts = (
-        shingle_ds.groupby("sh")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    candidates = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sh")
         .map_groups(emit_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
-        .aggregate(Count(alias_name="inter"))
+        .count()  # dedupe candidates found via multiple shared shingles
+    )
+    return _scan_verify_jaccard(ds, candidates, threshold, k)
+
+
+def _jaccard_rows(a, b, sets_a, sets_b, threshold: float):
+    keep_a, keep_b, jacs = [], [], []
+    for x, y, sx, sy in zip(a, b, sets_a, sets_b):
+        if not sx and not sy:
+            continue
+        inter = len(sx & sy)
+        jac = inter / (len(sx) + len(sy) - inter)
+        if jac >= threshold:
+            keep_a.append(x)
+            keep_b.append(y)
+            jacs.append(round_half_up(jac, 6))
+    return pa.Table.from_pydict(
+        {
+            "a": pa.array(keep_a, pa.int64()),
+            "b": pa.array(keep_b, pa.int64()),
+            "jaccard": pa.array(jacs, pa.float64()),
+        }
     )
 
-    def jaccard_filter(batch: pa.Table) -> pa.Table:
-        sizes = ray.get(sizes_ref)
-        a = batch["a"].to_numpy()
-        b = batch["b"].to_numpy()
-        inter = batch["inter"].to_numpy().astype(np.float64)
-        na = np.array([sizes[x] for x in a], dtype=np.float64)
-        nb = np.array([sizes[x] for x in b], dtype=np.float64)
-        jac = inter / (na + nb - inter)
-        keep = jac >= threshold
+
+def _scan_verify_jaccard(ds, candidates, threshold: float, k: int):
+    """Exact-Jaccard verification of candidate (a, b) pairs.
+
+    Collect the candidate doc-id set (small — proportional to candidate
+    *pairs*, not corpus), ``ray.put`` it, rescan the corpus keeping only
+    candidate docs' shingle sets, broadcast those to the pair-verify
+    map. One extra column-pruned corpus scan, zero join shuffles; the
+    broadcast is the SMALL side both times. Shared by MinHash LSH
+    (verify="scan") and ngram_jaccard_pairs."""
+    import ray
+
+    cand_tab = candidates.select_columns(["a", "b"]).materialize()
+    cand_ids: set[int] = set()
+    for batch in cand_tab.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        cand_ids.update(batch["a"].to_pylist())
+        cand_ids.update(batch["b"].to_pylist())
+    ids_ref = ray.put(cand_ids)
+
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids, sets = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if did in want:
+                ids.append(did)
+                sets.append("\x1f".join(sorted(_shingles(t, k))))
         return pa.Table.from_pydict(
             {
-                "a": a[keep],
-                "b": b[keep],
-                "jaccard": round_half_up(jac[keep], 6),
+                "doc_id": pa.array(ids, pa.int64()),
+                "sh_set": pa.array(sets, pa.string()),
             }
         )
 
-    return pair_counts.map_batches(jaccard_filter, batch_format="pyarrow")
+    smap: dict[int, set] = {}
+    for batch in (
+        ds.map_batches(cand_shingles, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    ):
+        for did, s in zip(batch["doc_id"].to_pylist(), batch["sh_set"].to_pylist()):
+            smap[did] = set(s.split("\x1f")) if s else set()
+    smap_ref = ray.put(smap)
+
+    def verify_scan(batch: pa.Table) -> pa.Table:
+        m = ray.get(smap_ref)
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        return _jaccard_rows(a, b, [m[x] for x in a], [m[y] for y in b], threshold)
+
+    return cand_tab.map_batches(verify_scan, batch_format="pyarrow")
 
 
 # --------------------------------------------------------- MinHash LSH
@@ -275,25 +326,6 @@ def minhash_pairs_ds(
         .count()  # dedupe candidate pairs across bands
     )
 
-    def _jaccard_rows(a, b, sets_a, sets_b):
-        keep_a, keep_b, jacs = [], [], []
-        for x, y, sx, sy in zip(a, b, sets_a, sets_b):
-            if not sx and not sy:
-                continue
-            inter = len(sx & sy)
-            jac = inter / (len(sx) + len(sy) - inter)
-            if jac >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-                jacs.append(round_half_up(jac, 6))
-        return pa.Table.from_pydict(
-            {
-                "a": pa.array(keep_a, pa.int64()),
-                "b": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(jacs, pa.float64()),
-            }
-        )
-
     if verify == "broadcast":
         shingle_map = {}
         for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
@@ -305,49 +337,14 @@ def minhash_pairs_ds(
             smap = ray.get(sh_ref)
             a = batch["a"].to_pylist()
             b = batch["b"].to_pylist()
-            return _jaccard_rows(a, b, [smap[x] for x in a], [smap[y] for y in b])
+            return _jaccard_rows(
+                a, b, [smap[x] for x in a], [smap[y] for y in b], threshold
+            )
 
         return candidates.map_batches(verify_broadcast, batch_format="pyarrow")
 
     if verify == "scan":
-        # candidate id set is small (≈ 2 × candidate pairs); collect it
-        cand_tab = candidates.select_columns(["a", "b"]).materialize()
-        cand_ids: set[int] = set()
-        for batch in cand_tab.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            cand_ids.update(batch["a"].to_pylist())
-            cand_ids.update(batch["b"].to_pylist())
-        ids_ref = ray.put(cand_ids)
-
-        def cand_shingles(batch: pa.Table) -> pa.Table:
-            want = ray.get(ids_ref)
-            ids, sets = [], []
-            for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-                if did in want:
-                    ids.append(did)
-                    sets.append("\x1f".join(sorted(_shingles(t, k))))
-            return pa.Table.from_pydict(
-                {
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "sh_set": pa.array(sets, pa.string()),
-                }
-            )
-
-        smap: dict[int, set] = {}
-        for batch in (
-            ds.map_batches(cand_shingles, batch_format="pyarrow", zero_copy_batch=True)
-            .iter_batches(batch_size=65536, batch_format="pyarrow")
-        ):
-            for did, s in zip(batch["doc_id"].to_pylist(), batch["sh_set"].to_pylist()):
-                smap[did] = set(s.split("\x1f")) if s else set()
-        smap_ref = ray.put(smap)
-
-        def verify_scan(batch: pa.Table) -> pa.Table:
-            m = ray.get(smap_ref)
-            a = batch["a"].to_pylist()
-            b = batch["b"].to_pylist()
-            return _jaccard_rows(a, b, [m[x] for x in a], [m[y] for y in b])
-
-        return cand_tab.map_batches(verify_scan, batch_format="pyarrow")
+        return _scan_verify_jaccard(ds, candidates, threshold, k)
 
     # distributed verify: hash-partitioned joins attach both shingle sets
     def shingle_sets(batch: pa.Table) -> pa.Table:
@@ -380,6 +377,7 @@ def minhash_pairs_ds(
             batch["b"].to_pylist(),
             [unpack(s) for s in batch["sh_a"].to_pylist()],
             [unpack(s) for s in batch["sh_b"].to_pylist()],
+            threshold,
         )
 
     return joined.map_batches(verify_joined, batch_format="pyarrow")
@@ -470,40 +468,215 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 # --------------------------------------------------- embedding cosine
 
 
+def _embedding_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, float64 matrix) from an Arrow (vec_id, embedding) batch
+    — vectorized list-flatten, no per-row Python."""
+    import pyarrow.compute as pc
+
+    ids = batch["vec_id"].to_numpy()
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    return ids, flat.reshape(len(ids), -1)
+
+
+def _cosine_block(
+    ids_a, mat_a, ids_b, mat_b, threshold: float, same_chunk: bool
+) -> pa.Table:
+    na = np.linalg.norm(mat_a, axis=1)
+    nb = np.linalg.norm(mat_b, axis=1)
+    na[na == 0] = 1.0
+    nb[nb == 0] = 1.0
+    cos = (mat_a @ mat_b.T) / na[:, None] / nb[None, :]
+    ai, bi = np.nonzero(cos >= threshold)
+    if same_chunk:
+        tri = ai < bi  # each unordered pair once, no self-pairs
+        ai, bi = ai[tri], bi[tri]
+    a_ids = ids_a[ai]
+    b_ids = ids_b[bi]
+    # canonical (a < b); cross-chunk pairs appear in exactly one block
+    lo = np.minimum(a_ids, b_ids)
+    hi = np.maximum(a_ids, b_ids)
+    keep = lo != hi
+    return pa.Table.from_pydict(
+        {
+            "a": lo[keep],
+            "b": hi[keep],
+            "cosine": round_half_up(cos[ai, bi][keep], 6),
+        }
+    )
+
+
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.3):
-    """Near-dup pairs by embedding cosine >= threshold (broadcast matrix,
-    per-batch float64 matmul; (a < b) canonical order)."""
+    """EXACT near-dup pairs by embedding cosine >= threshold.
+
+    All-pairs semantics is inherently Ω(N²) compute — this pipeline
+    distributes it as a blocked cross product instead of the round-1
+    driver-broadcast design: the embedding table is repartitioned into C
+    chunks whose Arrow blocks stay in the OBJECT STORE
+    (``to_arrow_refs``); a task per chunk-pair (i ≤ j) pulls two chunks
+    and emits its block of the cosine matrix. Driver memory is O(C)
+    refs; worker memory is two chunks; every pair is produced exactly
+    once (upper-triangle blocks, elementwise-canonical ids). For corpora
+    where even C(C+1)/2 block tasks are unaffordable, use
+    :func:`embedding_dup_pairs_lsh` — sub-quadratic candidate discovery
+    with documented recall.
+    """
     import ray
     import ray.data as rd
-    import pyarrow.parquet as pq
 
-    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids_all = tab["vec_id"].to_numpy()
-    mat = np.vstack(
-        [np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n = ds.count()
+    chunk_rows = 8192
+    n_chunks = max(1, (n + chunk_rows - 1) // chunk_rows)
+    refs = ds.repartition(n_chunks).materialize().to_arrow_refs()
+    n_chunks = len(refs)
+
+    def block(batch: pa.Table, refs=refs) -> pa.Table:
+        import ray as _ray
+
+        out = []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_a, mat_a = _embedding_matrix(_ray.get(refs[i]))
+            if i == j:
+                out.append(
+                    _cosine_block(ids_a, mat_a, ids_a, mat_a, threshold, True)
+                )
+            else:
+                ids_b, mat_b = _embedding_matrix(_ray.get(refs[j]))
+                out.append(
+                    _cosine_block(ids_a, mat_a, ids_b, mat_b, threshold, False)
+                )
+        return pa.concat_tables(out)
+
+    items = [
+        {"i": i, "j": j} for i in range(n_chunks) for j in range(i, n_chunks)
+    ]
+    return rd.from_items(items).map_batches(
+        block, batch_format="pyarrow", batch_size=1
     )
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    ref = ray.put((ids_all, mat, norms))
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_all_, mat_, norms_ = ray.get(ref)
-        bids = batch["vec_id"].to_numpy()
-        bmat = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
-        )
-        bnorm = np.linalg.norm(bmat, axis=1)
-        bnorm[bnorm == 0] = 1.0
-        cos = (bmat @ mat_.T) / bnorm[:, None] / norms_[None, :]
-        ai, bi = np.nonzero(cos >= threshold)
-        keep = bids[ai] < ids_all_[bi]  # canonical, drops self-pairs
+
+_HP_BANDS = 24
+_HP_BITS = 4  # bits per band; P(band match) = (1 - θ/π)^bits
+
+
+def _hyperplanes(dim: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, _HP_BANDS * _HP_BITS))
+
+
+def embedding_dup_pairs_lsh(
+    sf_dir: str, threshold: float = 0.3, bands: int = _HP_BANDS, bits: int = _HP_BITS
+):
+    """Near-dup pairs by cosine via random-hyperplane LSH — the scale
+    path (sub-quadratic, documented recall).
+
+    sign(vec · H) gives ``bands × bits`` sign bits; each band's bits
+    pack into a bucket id; ``groupby(band, bucket)`` emits star-capped
+    candidates; exact cosine verifies each candidate (broadcast of the
+    CANDIDATE vectors only). Every emitted (pair, cosine) row is exact;
+    recall for a pair at angle θ is ``1 - (1 - (1-θ/π)^bits)^bands``
+    (≈0.96 at cosine 0.3, ≈1.0 above 0.7 with the defaults —
+    tests/test_pipelines.py measures it against the exact pipeline).
+    """
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    H = _hyperplanes(dim)
+    h_ref = ray.put(H)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids, mat = _embedding_matrix(batch)
+        bits_mat = (mat @ ray.get(h_ref)) > 0  # (n, bands*bits)
+        buckets = (
+            bits_mat.reshape(len(ids), bands, bits).astype(np.int64) @ weights
+        )  # (n, bands)
         return pa.Table.from_pydict(
             {
-                "a": bids[ai][keep],
-                "b": ids_all_[bi][keep],
-                "cosine": round_half_up(cos[ai, bi][keep], 6),
+                "vec_id": np.repeat(ids, bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), len(ids)),
+                "bucket": buckets.reshape(-1),
             }
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(np.unique(np.asarray(group["vec_id"].to_pylist(), np.int64)))
+        if ids.size < 2:
+            return pa.Table.from_pydict({"a": [], "b": []}).cast(
+                pa.schema([("a", pa.int64()), ("b", pa.int64())])
+            )
+        ai, bi = _pair_indices(ids.size)
+        return pa.Table.from_pydict({"a": ids[ai], "b": ids[bi]})
+
+    candidates = (
+        ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bucket"])
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+    )
+
+    # verify: broadcast only the CANDIDATE vectors (small side)
+    cand_tab = candidates.select_columns(["a", "b"]).materialize()
+    cand_ids: set[int] = set()
+    for batch in cand_tab.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        cand_ids.update(batch["a"].to_pylist())
+        cand_ids.update(batch["b"].to_pylist())
+    ids_ref = ray.put(cand_ids)
+
+    def cand_vecs(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids, mat = _embedding_matrix(batch)
+        keep = np.asarray([i in want for i in ids.tolist()], bool)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": ids[keep],
+                "vec": pa.array(list(mat[keep]), pa.list_(pa.float64())),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    vmap: dict[int, np.ndarray] = {}
+    for batch in ds.map_batches(
+        cand_vecs, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids = batch["vec_id"].to_numpy()
+        if len(ids) == 0:
+            continue
+        flat = pc.list_flatten(batch["vec"]).to_numpy(zero_copy_only=False)
+        m = flat.reshape(len(ids), -1)
+        for i, row in zip(ids.tolist(), m):
+            vmap[i] = row
+    vmap_ref = ray.put(vmap)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = ray.get(vmap_ref)
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        if a.size == 0:
+            return pa.Table.from_pydict(
+                {"a": [], "b": [], "cosine": []}
+            ).cast(
+                pa.schema(
+                    [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]
+                )
+            )
+        va = np.stack([m[x] for x in a.tolist()])
+        vb = np.stack([m[y] for y in b.tolist()])
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = (va * vb).sum(axis=1) / na / nb
+        keep = cos >= threshold
+        return pa.Table.from_pydict(
+            {"a": a[keep], "b": b[keep], "cosine": round_half_up(cos[keep], 6)}
+        )
+
+    return cand_tab.map_batches(verify, batch_format="pyarrow")

@@ -68,6 +68,10 @@ class BuildConfig:
     # latency (startup + shuffle barrier) that otherwise serializes;
     # checkpoint semantics unchanged (manifest written per completion)
     build_concurrency: int = 4
+    # "raw": static-domain shuffle with raw Ray tasks (default; see
+    # build_partition). "dataset": Dataset groupby(gkey) sort shuffle.
+    # Output is byte-identical either way; not part of the fingerprint.
+    exchange: str = "raw"
 
     @property
     def num_shards(self) -> int:
@@ -288,6 +292,66 @@ class _ReadAnalyzeTask:
         return pa.concat_tables(outs) if outs else FRAGMENT_SCHEMA.empty_table()
 
 
+import pyarrow as _pa
+
+_MANIFEST_SCHEMA = _pa.schema(
+    [
+        ("file", _pa.string()),
+        ("gkey", _pa.int64()),
+        ("salt", _pa.int64()),
+        ("kind", _pa.string()),
+        ("n_terms", _pa.int64()),
+        ("n_postings", _pa.int64()),
+        ("bytes", _pa.int64()),
+        ("n_docs", _pa.int64()),
+        ("sum_dl", _pa.int64()),
+    ]
+)
+
+
+def _analyze_route(chunk: dict, reader, batcher, batch_size: int, n_pos: int, n_route: int):
+    """One map task of the raw static-domain exchange: read+analyze one
+    chunk, then split the fragment table by group into ``n_route``
+    separate return objects (invoked with ``num_returns=n_route``), so
+    each writer task later pulls exactly its group's bytes from the
+    object store. Routes: posting gkeys map to themselves
+    ([0, n_salts·term_parts)); doc-stat sentinels ``-(salt+1)`` map to
+    ``n_pos + salt``."""
+    import numpy as np
+
+    tab = _ReadAnalyzeTask(reader, batcher, batch_size)(
+        {k: [v] for k, v in chunk.items()}
+    )
+    gk = tab["gkey"].to_numpy()
+    route = np.where(gk >= 0, gk, n_pos + (-gk - 1))
+    order = np.argsort(route, kind="stable")
+    sorted_tab = tab.take(order)  # zero-copy slices below
+    sr = route[order]
+    bounds = np.searchsorted(sr, np.arange(n_route + 1))
+    return tuple(
+        sorted_tab.slice(int(bounds[r]), int(bounds[r + 1] - bounds[r]))
+        for r in range(n_route)
+    )
+
+
+def _write_route_group(seg_dir: str, ds_dir: str, with_positions: bool, *parts):
+    """One writer task per route: concatenate the chunks' fragment
+    slices (chunk submission order — deterministic) and encode/write via
+    SegmentWriter. Empty routes return an empty manifest table."""
+    import pyarrow as pa
+
+    from ..stages.encode import SegmentWriter
+
+    tabs = [p for p in parts if p.num_rows]
+    if not tabs:
+        return pa.Table.from_pydict(
+            {c: [] for c in SegmentWriter.MANIFEST_COLS}
+        ).cast(_MANIFEST_SCHEMA)
+    group = pa.concat_tables(tabs)
+    writer = SegmentWriter(seg_dir, with_positions, ds_dir=ds_dir)
+    return writer(group).cast(_MANIFEST_SCHEMA)
+
+
 def build_partition(
     pid: int, files: list[str], out_dir: str, cfg: BuildConfig,
     dense_offsets: dict | None = None,
@@ -322,34 +386,67 @@ def build_partition(
         items = _plan_read_chunks(files, target_rows=cfg.read_chunk_rows)
         reader = _ChunkReader(cols)
 
-    # ONE pass per chunk: read + posting fragments + packed doc-stat rows
-    # from the same analyze, then ONE groupby(gkey) shuffle routing both
-    # to their writers
-    frags = rd.from_items(items).map_batches(
-        _ReadAnalyzeTask(reader, batcher, cfg.batch_size)
-    )
     os.makedirs(ds_dir, exist_ok=True)
-    writer = SegmentWriter(seg_dir, cfg.with_positions, ds_dir=ds_dir)
 
-    def write_group(group):
-        return writer(group)
+    if cfg.exchange == "raw":
+        # Raw static-domain exchange (the default): the group-key domain
+        # is KNOWN and tiny (n_salts·term_parts posting groups + n_salts
+        # doc-stat sentinels), so the Dataset groupby's boundary
+        # sampling, sort barrier and group-splitting buy nothing — and
+        # measured ~4.4 s of fixed per-build latency that no CPU count
+        # shrinks (BASELINE.md round 2). Instead: one Ray task per read
+        # chunk returns its fragments pre-split by group
+        # (num_returns=n_route), one writer task per group concatenates
+        # its slices (chunk order — deterministic) and encodes. Output
+        # is byte-identical to the Dataset path (SegmentWriter's global
+        # (term, doc) sort is input-order-independent;
+        # tests/test_raw_exchange.py). Same materialization bound as
+        # Ray's sort shuffle: one partition's fragments live in the
+        # object store between map and write — the build partition is
+        # the memory unit, and the store spills past it.
+        import ray
 
-    shuffle_env = os.environ.get("THEMIS_SHUFFLE", "")
-    if shuffle_env.startswith("hash"):
-        import ray.data.context as _rctx
+        n_pos = cfg.num_shards * cfg.term_parts
+        n_route = n_pos + cfg.num_shards
+        analyze = ray.remote(num_returns=n_route)(_analyze_route)
+        write = ray.remote(_write_route_group)
+        reader_ref = ray.put(reader)
+        batcher_ref = ray.put(batcher)
+        chunk_refs = [
+            analyze.remote(
+                item, reader_ref, batcher_ref, cfg.batch_size, n_pos, n_route
+            )
+            for item in items
+        ]
+        man_refs = [
+            write.remote(
+                seg_dir,
+                ds_dir,
+                cfg.with_positions,
+                *[chunk_refs[i][r] for i in range(len(chunk_refs))],
+            )
+            for r in range(n_route)
+        ]
+        import pyarrow as pa
 
-        _rctx.DataContext.get_current().shuffle_strategy = (
-            _rctx.ShuffleStrategy.HASH_SHUFFLE
-        )
-        nparts = int(shuffle_env.split(":")[1]) if ":" in shuffle_env else 8
-        grouped = frags.groupby("gkey", num_partitions=nparts).map_groups(
-            write_group, batch_format="pyarrow"
-        )
+        manifest_rows = pa.concat_tables(ray.get(man_refs)).to_pandas()
     else:
+        # Dataset-native path (exchange="dataset"): ONE pass per chunk
+        # (read + posting fragments + packed doc-stat rows from the same
+        # analyze), then ONE groupby(gkey) shuffle routing both to their
+        # writers. Kept for identity testing and as the reference shape.
+        frags = rd.from_items(items).map_batches(
+            _ReadAnalyzeTask(reader, batcher, cfg.batch_size)
+        )
+        writer = SegmentWriter(seg_dir, cfg.with_positions, ds_dir=ds_dir)
+
+        def write_group(group):
+            return writer(group)
+
         grouped = frags.groupby("gkey").map_groups(write_group, batch_format="pyarrow")
-    manifest_rows = grouped.to_pandas()  # tiny: one row per gkey group
-    if os.environ.get("THEMIS_BUILD_STATS"):
-        print(f"=== partition p{pid} stats ({time.time()-t0:.1f}s) ===\n", grouped.stats(), flush=True)
+        manifest_rows = grouped.to_pandas()  # tiny: one row per gkey group
+        if os.environ.get("THEMIS_BUILD_STATS"):
+            print(f"=== partition p{pid} stats ({time.time()-t0:.1f}s) ===\n", grouped.stats(), flush=True)
     segs = manifest_rows[manifest_rows["kind"] == "segment"]
     dstats = manifest_rows[manifest_rows["kind"] == "doc_stats"]
 

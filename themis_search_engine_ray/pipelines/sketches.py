@@ -70,9 +70,9 @@ def topk_terms_exact(sf_dir: str, k: int = 50):
         .groupby("term")
         .aggregate(Sum("count", alias_name="count"))
     )
-    # the aggregated table is tiny; deterministic driver-side top-k
-    tab = agg.to_pandas()
-    tab = tab.sort_values(["count", "term"], ascending=[False, True]).head(k)
+    # distributed top-k: sort the aggregate in Ray (never holds the full
+    # distinct-term table on the driver) and pull only k rows
+    tab = agg.sort(["count", "term"], descending=[True, False]).limit(k).to_pandas()
     return tab.reset_index(drop=True)
 
 
@@ -100,6 +100,5 @@ def topk_terms_sketch(sf_dir: str, k: int = 50, capacity: int = 256):
         .groupby("term")
         .aggregate(Sum("est_count", alias_name="est_count"))
     )
-    tab = agg.to_pandas()
-    tab = tab.sort_values(["est_count", "term"], ascending=[False, True]).head(k)
+    tab = agg.sort(["est_count", "term"], descending=[True, False]).limit(k).to_pandas()
     return tab.reset_index(drop=True)
