@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_passthrough": fulltext.turns_passthrough,
         "doc_stats": fulltext.doc_stats,
         "term_df_nostem": fulltext.term_df_nostem,
+        "term_df_nostem_nostop": fulltext.term_df_nostem_nostop,
         "term_df": fulltext.term_df,
         "bm25_all_nostem": fulltext.bm25_all_nostem,
         "bm25_role_nostem": fulltext.bm25_role_nostem,
@@ -94,7 +95,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": lambda sf: multimodal.media_features(sf).select_columns(
             ["media_id", "media_type", "height", "width", "n_frames"]
         ),
+        # ---- query expansion (M10/M11; GloVe path uses a REAL
+        # corpus-trained PPMI-SVD model — rows-only) ----
+        "glove_expansion": _glove_expansion,
     }
+
+
+def _glove_expansion(sf_dir: str):
+    """M11 end to end with a real model: train PPMI-SVD vectors on the
+    documents table, expand a fixed query set through the actor-pool
+    GloveExpander (one model load per actor — fixing the reference's
+    per-token reload, Glove.java:20-55)."""
+    from themis_search_engine_ray.pipelines.embeddings_train import (
+        train_corpus_embeddings,
+    )
+    from themis_search_engine_ray.stages.expansion import (
+        GloveExpander,
+        expand_queries,
+    )
+
+    model = train_corpus_embeddings(
+        f"{sf_dir}/documents.parquet", vocab_size=2048, dim=32
+    )
+    qs = [
+        "data model quality",
+        "search ranking latency",
+        "token stream window",
+        "conversation agent response",
+    ]
+    df = expand_queries(qs, GloveExpander, model=model).to_pandas()
+    return df.sort_values("qid").reset_index(drop=True)
 
 
 def _eval_metrics(sf_dir: str):
@@ -242,6 +272,12 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_TURNS_CTE}, {_TOKS_CTE} "
             f"SELECT tok AS term, count(*) AS df FROM "
             f"(SELECT DISTINCT conv_id, turn_idx, tok FROM toks WHERE tok NOT IN ({stop})) "
+            "GROUP BY tok"
+        ),
+        "term_df_nostem_nostop": (
+            f"WITH {_TURNS_CTE}, {_TOKS_CTE} "
+            f"SELECT tok AS term, count(*) AS df FROM "
+            f"(SELECT DISTINCT conv_id, turn_idx, tok FROM toks) "
             "GROUP BY tok"
         ),
         "bm25_all_nostem": (

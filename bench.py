@@ -64,7 +64,11 @@ def run_bench(build_only: bool = False) -> dict:
     ctx.enable_progress_bars = False
 
     from themis_search_engine_ray.pipelines.dedup import minhash_pairs_ds
-    from themis_search_engine_ray.pipelines.index_build import BuildConfig, build_index
+    from themis_search_engine_ray.pipelines.index_build import (
+        BuildConfig,
+        build_index,
+        compact_index,
+    )
     from themis_search_engine_ray.sources.transcripts import (
         synthetic_dataset,
         write_synthetic,
@@ -110,6 +114,12 @@ def run_bench(build_only: bool = False) -> dict:
         shutil.rmtree(idx_dir, ignore_errors=True)
         ray.shutdown()
         return result
+
+    # --- compaction (the default serving layout: one merged run per
+    # term per gkey + precomputed global tie-break ordinal) ---
+    t0 = time.time()
+    compact_index(idx_dir)
+    timings["compact"] = time.time() - t0
 
     # --- query serving latency ---
     from themis_search_engine_ray.sources.transcripts import _vocab
@@ -258,8 +268,9 @@ def run_scaling() -> dict:
     turns = int(os.environ.get("RAY_GRAFT_SCALING_TURNS", str(6_400_000)))
     cpu_points = [
         int(c)
-        for c in os.environ.get("RAY_GRAFT_SCALING_CPUS", "2,8,32").split(",")
+        for c in os.environ.get("RAY_GRAFT_SCALING_CPUS", "8,32").split(",")
     ]
+    repeats = int(os.environ.get("RAY_GRAFT_SCALING_REPEATS", "3"))
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -275,30 +286,38 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    results = {c: run(c) for c in cpu_points}
+    # this sandbox shares hardware — ambient load swings wall time 2-3x
+    # between minutes. Interleave the CPU points and take each point's
+    # BEST of `repeats` runs (raw runs all reported below), so both
+    # points are judged under comparable machine conditions.
+    runs: dict[int, list[float]] = {c: [] for c in cpu_points}
+    for _ in range(repeats):
+        for c in cpu_points:
+            runs[c].append(run(c)["value"])
+    best = {c: min(v) for c, v in runs.items()}
     pairs = {}
     for lo, hi in zip(cpu_points, cpu_points[1:]):
-        eff = (
-            results[hi]["build_turns_per_sec"] / results[lo]["build_turns_per_sec"]
-        ) / (hi / lo)
+        eff = (best[lo] / best[hi]) / (hi / lo)
         pairs[f"{lo}->{hi}"] = round(eff, 3)
     return {
         "metric": "index-build scaling at N vs 4N cpus (sandbox stand-in for N->4N nodes)",
         "turns": turns,
         "points": {
             str(c): {
-                "sec": r["value"],
-                "build_turns_per_sec": r["build_turns_per_sec"],
+                "sec": round(best[c], 3),
+                "build_turns_per_sec": round(turns / best[c], 1),
+                "runs_sec": [round(v, 3) for v in runs[c]],
             }
-            for c, r in results.items()
+            for c in cpu_points
         },
         "scaling_efficiency": pairs,
         "note": (
-            "2->8 cpus: both runs compute-bound, the regime a real N->4N-node "
-            "cluster operates in (each node brings its own memory bus and "
-            "object store). 8->32 on ONE sandbox node shares a single memory "
-            "bus/object store/driver across all workers, which caps the "
-            "upper point; see BASELINE.md."
+            "fresh subprocess per run; per-point best of "
+            f"{repeats} interleaved repeats (shared-hardware sandbox — "
+            "ambient load varies; raw runs in points.*.runs_sec). "
+            "On one node all workers share a memory bus/object "
+            "store/driver; a real N->4N-node cluster adds those "
+            "resources with its CPUs. See BASELINE.md."
         ),
     }
 

@@ -91,3 +91,45 @@ def test_compacted_positions_survive(built):
         for h in eng.search_phrase("effective agent", k=25)
     ]
     assert got == phrase_before
+
+
+def test_vsm_over_compacted_norms(built):
+    """build_norms prefers the compacted layout (one merged run per
+    term); VSM rankings must stay oracle-identical and scores match at
+    the documented 1e-9 tolerance."""
+    import numpy as np
+
+    from themis_search_engine_ray.pipelines.index_build import build_norms
+
+    idx, oracle, _, _ = built
+    norms_dir = build_norms(idx)
+    assert os.path.isdir(norms_dir)
+    eng = LocalSearchEngine(idx)
+    for q in QUERIES:
+        got = eng.search_vsm(q, k=20)
+        want = oracle.search_vsm(q, k=20)
+        assert [(h.conv_id, h.turn_idx) for h in got] == [
+            (h.conv_id, h.turn_idx) for h in want
+        ], q
+        np.testing.assert_allclose(
+            [h.score for h in got], [h.score for h in want], rtol=1e-9
+        )
+
+
+def test_compacted_tiebreak_is_global_conv_turn_ordinal(built):
+    """The distributed (Ray sort + per-block offsets) tie-break ordinal
+    must equal the rank of each doc under lexicographic (conv_id,
+    turn_idx) — across ALL salts and partitions."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    idx, _, _, _ = built
+    ds_root = os.path.join(idx, "compacted", "doc_stats")
+    tab = pads.dataset(ds_root, format="parquet").to_table()
+    conv = np.asarray(tab["conv_id"].to_pylist(), dtype=object)
+    turn = tab["turn_idx"].to_numpy()
+    tb = tab["tiebreak"].to_numpy()
+    # a permutation of 0..n-1
+    assert sorted(tb.tolist()) == list(range(len(tb)))
+    order = np.lexsort((turn, conv))
+    np.testing.assert_array_equal(tb[order], np.arange(len(tb)))

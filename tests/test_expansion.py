@@ -77,3 +77,44 @@ def test_expand_queries_actor_pool(ray_session):
     ).to_pandas()
     assert len(out2) == 8
     assert all(e.startswith(q) for q, e in zip(out2["query"], out2["expanded"]))
+
+
+def test_corpus_trained_embeddings(ray_session, tmp_path):
+    """M11 with a REAL model: PPMI-SVD vectors trained on the corpus
+    itself. Tokens that co-occur almost exclusively with each other must
+    be mutual nearest neighbors; the model is corpus-derived (vocab from
+    the corpus), deterministic, and plugs into GloveExpander."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.embeddings_train import (
+        train_corpus_embeddings,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    rows = []
+    # two disjoint co-occurrence cliques + noise
+    for i in range(120):
+        rows.append({"text": f"zork blivet zork blivet prattle{i % 7}"})
+        rows.append({"text": f"quux fnord quux fnord mumble{i % 5}"})
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "part-0.parquet"))
+
+    model = train_corpus_embeddings(str(d), vocab_size=64, dim=8, min_count=2)
+    assert set(model.vocab) >= {"zork", "blivet", "quux", "fnord"}
+    assert model.nearest("zork") == "blivet"
+    assert model.nearest("blivet") == "zork"
+    assert model.nearest("quux") == "fnord"
+    assert model.nearest("fnord") == "quux"
+    assert model.nearest("notinvocab") is None
+
+    # deterministic retrain
+    model2 = train_corpus_embeddings(str(d), vocab_size=64, dim=8, min_count=2)
+    assert model2.vocab == model.vocab
+    np.testing.assert_allclose(model2.matrix, model.matrix)
+
+    # plugs into the M11 expander (one model per actor)
+    exp = GloveExpander(model=model)
+    out = exp.expand_one("zork quux")
+    assert out.startswith("zork quux")
+    assert "blivet" in out and "fnord" in out

@@ -25,8 +25,12 @@ from shuffle-conscious primitives:
                      hamming ≤ 3 share ≥1 exact sub-band by pigeonhole
                      when ≤3 bands differ ... with 4 bands any pair at
                      hamming ≤3 collides in ≥1 band), verify hamming.
-* embedding cosine — near-dup pairs with cosine ≥ τ via broadcast
-                     matrix product per batch (``ray.put`` once).
+* embedding cosine — exact pairs with cosine ≥ τ via a distributed
+                     blocked cross product over object-store chunk
+                     refs (no driver-held matrix); plus an LSH
+                     variant (random hyperplanes → banded buckets →
+                     exact-cosine verify) for sub-quadratic candidate
+                     discovery with documented recall.
 
 Determinism: every pair output is (a < b); jaccard/cosine rounded to 6
 decimals for hash-comparable oracles; thresshold comparisons happen on

@@ -120,6 +120,16 @@ def term_df(sf_dir: str):
     return _term_df(sf_dir, AnalyzerConfig())
 
 
+def term_df_nostem_nostop(sf_dir: str):
+    """(term, df) with BOTH analyzer toggles off — isolates the M3
+    stopword filter the way term_df_nostem isolates the stemmer
+    (AnalyzerConfig(use_stopwords=False) honored end to end,
+    SQL-oracle-checkable)."""
+    return _term_df(
+        sf_dir, AnalyzerConfig(use_stemmer=False, use_stopwords=False)
+    )
+
+
 def _bm25(sf_dir: str, cfg: AnalyzerConfig, k: int | None, round_to: int | None):
     import pandas as pd
 

@@ -325,12 +325,25 @@ def _analyze_route(chunk: dict, reader, batcher, batch_size: int, n_pos: int, n_
     gk = tab["gkey"].to_numpy()
     route = np.where(gk >= 0, gk, n_pos + (-gk - 1))
     order = np.argsort(route, kind="stable")
-    sorted_tab = tab.take(order)  # zero-copy slices below
+    sorted_tab = tab.take(order)
     sr = route[order]
     bounds = np.searchsorted(sr, np.arange(n_route + 1))
+    empty = sorted_tab.schema.empty_table()
+
+    def owned(lo: int, hi: int):
+        # CRITICAL: a zero-copy slice PICKLES ITS ENTIRE PARENT buffer
+        # (pyarrow keeps the full buffer in __reduce__) — returning raw
+        # slices here ships each chunk's whole fragment table n_route
+        # times through the object store (measured 70x byte
+        # amplification → store spill → build wall-time blowup at
+        # multi-million-turn partitions). take() materializes each
+        # route's rows into their own buffers before Ray serializes.
+        if hi <= lo:
+            return empty
+        return sorted_tab.take(np.arange(lo, hi))
+
     return tuple(
-        sorted_tab.slice(int(bounds[r]), int(bounds[r + 1] - bounds[r]))
-        for r in range(n_route)
+        owned(int(bounds[r]), int(bounds[r + 1])) for r in range(n_route)
     )
 
 
@@ -696,7 +709,6 @@ def compact_index(index_dir: str) -> str:
     import shutil
 
     import numpy as np
-    import pyarrow.dataset as pads
     import ray.data as rd
 
     from ..stages.codec import (
@@ -824,46 +836,81 @@ def compact_index(index_dir: str) -> str:
         .to_pandas()
     )
 
-    # doc stats: one merged file per salt under compacted/doc_stats,
-    # carrying a precomputed GLOBAL (conv asc, turn asc) tie-break
-    # ordinal so serving never has to materialize conv strings to sort
-    # (valid across any actor packing of salts because the ordinal is
-    # global, not per-salt). At 10^12 docs this sort becomes a Ray
-    # ds.sort + per-block offset pass instead of a driver concat.
+    # doc stats: re-sharded per salt under compacted/doc_stats, carrying
+    # a precomputed GLOBAL (conv asc, turn asc) tie-break ordinal so
+    # serving never has to materialize conv strings to sort (valid
+    # across any actor packing of salts because the ordinal is global,
+    # not per-salt). Fully distributed: Ray ds.sort range-partitions by
+    # (conv, turn); block row-counts come from ref-bundle METADATA (no
+    # driver read), so each block task gets its global row offset and
+    # writes its rows per salt. The driver holds only refs + counts.
+    # (ShardIndex re-sorts by doc_id at load, so per-salt file count
+    # and row order are free.)
     out_ds = os.path.join(tmp_root, "doc_stats")
-    salts = set()
+    ds_files = []
     for dsd in ds_dirs:
-        for sdir in os.listdir(dsd):
+        for sdir in sorted(os.listdir(dsd)):
             if sdir.startswith("salt="):
-                salts.add(sdir)
-    import pyarrow as pa
+                full = os.path.join(dsd, sdir)
+                ds_files.extend(
+                    os.path.join(full, f)
+                    for f in sorted(os.listdir(full))
+                    if f.endswith(".parquet")
+                )
+    if ds_files:
+        import ray
 
-    per_salt: dict[str, pa.Table] = {}
-    for sdir in sorted(salts):
-        frames = [
-            pads.dataset(os.path.join(dsd, sdir), format="parquet").to_table()
-            for dsd in ds_dirs
-            if os.path.isdir(os.path.join(dsd, sdir))
-        ]
-        per_salt[sdir] = pa.concat_tables(frames, promote_options="default")
-    if per_salt:
-        all_conv = np.concatenate(
-            [np.asarray(t["conv_id"].to_pylist(), dtype=object) for t in per_salt.values()]
+        salt_bits = int(meta["salt_bits"])
+        shift = 63 - salt_bits
+        sorted_ds = (
+            rd.read_parquet(ds_files)
+            .sort(["conv_id", "turn_idx"])
+            .materialize()
         )
-        all_turn = np.concatenate(
-            [t["turn_idx"].to_numpy() for t in per_salt.values()]
-        )
-        order = np.lexsort((all_turn, all_conv))
-        ordinal = np.empty(all_conv.size, np.int64)
-        ordinal[order] = np.arange(all_conv.size, dtype=np.int64)
-        off = 0
-        for sdir, tab in per_salt.items():
+        block_refs: list = []
+        counts: list[int] = []
+        for bundle in sorted_ds.iter_internal_ref_bundles():
+            for ref, bmeta in bundle.blocks:
+                block_refs.append(ref)
+                counts.append(int(bmeta.num_rows))
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) if counts else []
+
+        def write_block(block, bidx: int, offset: int) -> int:
+            import pyarrow as pa
+
+            tab = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
             n = tab.num_rows
-            tab = tab.append_column("tiebreak", pa.array(ordinal[off : off + n]))
-            off += n
-            odir = os.path.join(out_ds, sdir)
-            os.makedirs(odir, exist_ok=True)
-            pq.write_table(tab, os.path.join(odir, "docstats.parquet"))
+            if n == 0:
+                return 0
+            tab = tab.append_column(
+                "tiebreak", pa.array(offset + np.arange(n, dtype=np.int64))
+            )
+            salts_arr = (
+                tab["doc_id"].to_numpy().astype(np.uint64) >> np.uint64(shift)
+            ).astype(np.int64)
+            order = np.argsort(salts_arr, kind="stable")
+            stab = tab.take(order)
+            ssorted = salts_arr[order]
+            bounds = np.flatnonzero(
+                np.concatenate(([True], ssorted[1:] != ssorted[:-1]))
+            )
+            ends = np.concatenate((bounds[1:], [n]))
+            for lo, hi in zip(bounds, ends):
+                s = int(ssorted[lo])
+                odir = os.path.join(out_ds, f"salt={s}")
+                os.makedirs(odir, exist_ok=True)
+                fpath = os.path.join(odir, f"docstats-b{bidx:06d}.parquet")
+                pq.write_table(stab.slice(int(lo), int(hi - lo)), fpath + ".tmp")
+                os.replace(fpath + ".tmp", fpath)
+            return n
+
+        wtask = ray.remote(write_block)
+        ray.get(
+            [
+                wtask.remote(ref, i, int(offsets[i]))
+                for i, ref in enumerate(block_refs)
+            ]
+        )
 
     _atomic_write_json(
         os.path.join(tmp_root, "compaction.json"),
@@ -911,9 +958,20 @@ def build_norms(index_dir: str) -> str:
     salt_bits = int(meta["salt_bits"])
     part_root = os.path.join(index_dir, "partitions")
 
+    # prefer the compacted layout when present: one merged run per term
+    # per gkey instead of one per build partition — decode work per
+    # norm pass drops from O(P·df) to O(df) on multi-partition indexes
+    comp_seg = os.path.join(index_dir, "compacted", "segments")
+    if os.path.isdir(comp_seg):
+        seg_dirs = [comp_seg]
+    else:
+        seg_dirs = [
+            os.path.join(part_root, pdir, "segments")
+            for pdir in sorted(os.listdir(part_root))
+        ]
+
     files_by_kp: dict[int, list[str]] = {kp: [] for kp in range(term_parts)}
-    for pdir in sorted(os.listdir(part_root)):
-        seg_dir = os.path.join(part_root, pdir, "segments")
+    for seg_dir in seg_dirs:
         if not os.path.isdir(seg_dir):
             continue
         for fname in sorted(os.listdir(seg_dir)):
