@@ -422,7 +422,12 @@ def build_partition(
         n_pos = cfg.num_shards * cfg.term_parts
         n_route = n_pos + cfg.num_shards
         analyze = ray.remote(num_returns=n_route)(_analyze_route)
-        write = ray.remote(_write_route_group)
+        # writers are memory-bandwidth-bound (big gathers + lexsort +
+        # encode); num_cpus=2 halves their concurrency so co-scheduled
+        # compute-bound analyze tasks keep the cores busy instead of
+        # thrashing the bus (tunable via THEMIS_WRITER_CPUS)
+        writer_cpus = float(os.environ.get("THEMIS_WRITER_CPUS", "2"))
+        write = ray.remote(num_cpus=writer_cpus)(_write_route_group)
         reader_ref = ray.put(reader)
         batcher_ref = ray.put(batcher)
         chunk_refs = [
