@@ -118,3 +118,36 @@ def test_corpus_trained_embeddings(ray_session, tmp_path):
     out = exp.expand_one("zork quux")
     assert out.startswith("zork quux")
     assert "blivet" in out and "fnord" in out
+
+
+def test_distributional_lexicon(ray_session, tmp_path):
+    """M10 with a corpus-derived model: WordNetExpander over a
+    DistributionalLexicon built from PPMI-SVD vectors — synonyms are
+    real nearest neighbors, and the expander contract (cap, dedup,
+    original-query suffix) holds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.embeddings_train import (
+        train_corpus_embeddings,
+    )
+    from themis_search_engine_ray.stages.expansion import DistributionalLexicon
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    rows = []
+    for i in range(150):
+        rows.append({"text": f"zork blivet zork blivet filler{i % 6}"})
+        rows.append({"text": f"quux fnord quux fnord pad{i % 4}"})
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "part-0.parquet"))
+    model = train_corpus_embeddings(str(d), vocab_size=64, dim=8, min_count=2)
+
+    lex = DistributionalLexicon(model, n_synonyms=1)
+    assert lex.synonyms("zork") == ["blivet"]
+    assert lex.synonyms("unknowntok") == []
+
+    exp = WordNetExpander(lexicon=lex)
+    out = exp.expand_one("zork")
+    assert out.endswith(" zork")
+    prefix = out[: -len(" zork")].split()
+    assert prefix == ["zork", "blivet"]  # C+1 = 2 words, insertion order

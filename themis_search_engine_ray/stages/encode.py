@@ -26,7 +26,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .codec import encode_postings_flat, ranges_to_indices, skips_to_bytes
+from .codec import (
+    encode_postings_flat,
+    gather_ranges,
+    ranges_to_indices,
+    skips_to_bytes,
+)
 
 
 def _binary_view(col: pa.ChunkedArray, dtype: str) -> tuple[np.ndarray, np.ndarray]:
@@ -168,12 +173,13 @@ class SegmentWriter:
             new_term[1:] = sorted_terms[1:] != sorted_terms[:-1]
         term_starts_row = np.flatnonzero(new_term)
 
-        # one vectorized gather of ALL postings in term-sorted row order
+        # one gather of ALL postings in term-sorted row order (slice
+        # memcpys — see codec.gather_ranges)
         lens = doc_offs[order + 1] - doc_offs[order]
-        all_docs = doc_data[ranges_to_indices(doc_offs[order], lens)]
-        all_tfs = tf_data[
-            ranges_to_indices(tf_offs[order], tf_offs[order + 1] - tf_offs[order])
-        ]
+        all_docs = gather_ranges(doc_data, doc_offs[order], lens)
+        all_tfs = gather_ranges(
+            tf_data, tf_offs[order], tf_offs[order + 1] - tf_offs[order]
+        )
         gid_per_row = np.cumsum(new_term) - 1  # dense term ids, sorted order
         gid_post = np.repeat(gid_per_row, lens)
         # global (term, doc) sort — replaces per-term argsorts
@@ -186,14 +192,16 @@ class SegmentWriter:
         if self.with_positions:
             np_data, np_offs = _binary_view(group["npos"], "<u4")
             p_data, p_offs = _binary_view(group["pos"], "<u4")
-            all_np = np_data[
-                ranges_to_indices(np_offs[order], np_offs[order + 1] - np_offs[order])
-            ].astype(np.int64)
-            all_pos = p_data[
-                ranges_to_indices(p_offs[order], p_offs[order + 1] - p_offs[order])
-            ]
+            all_np = gather_ranges(
+                np_data, np_offs[order], np_offs[order + 1] - np_offs[order]
+            ).astype(np.int64)
+            all_pos = gather_ranges(
+                p_data, p_offs[order], p_offs[order + 1] - p_offs[order]
+            )
             pstart = np.concatenate(([0], np.cumsum(all_np)[:-1]))
             final_counts = all_np[ord2]
+            # per-posting ranges are 1-5 elements — the vectorized index
+            # gather wins there (gather_ranges' loop would be per-posting)
             final_pos = all_pos[ranges_to_indices(pstart[ord2], final_counts)]
             fp_bounds = np.concatenate(([0], np.cumsum(final_counts)))
 

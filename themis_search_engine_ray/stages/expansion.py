@@ -62,6 +62,35 @@ class StubSynonymLexicon:
         return out
 
 
+class DistributionalLexicon:
+    """Corpus-derived synonym source for :class:`WordNetExpander` — a
+    REAL trained model standing in for WordNet synsets (which need the
+    WordNet DB, absent from this container). ``synonyms(token)`` returns
+    the token's nearest neighbors in a :class:`CorpusEmbeddingModel`
+    (pipelines/embeddings_train.py: PPMI-SVD over the corpus) above a
+    cosine floor — distributional synonymy instead of curated synsets;
+    the expander semantics (dedup, C+1 cap, re-tokenization) are
+    unchanged."""
+
+    def __init__(self, model, n_synonyms: int = 2, min_cosine: float = 0.35):
+        self.model = model
+        self.n_synonyms = n_synonyms
+        self.min_cosine = min_cosine
+
+    def synonyms(self, token: str) -> list[str]:
+        i = self.model.index.get(token)
+        if i is None:
+            return []
+        import numpy as np
+
+        sims = self.model.matrix @ self.model.matrix[i]
+        sims[i] = -np.inf
+        top = np.argsort(-sims, kind="stable")[: self.n_synonyms]
+        return [
+            self.model.vocab[int(j)] for j in top if sims[j] >= self.min_cosine
+        ]
+
+
 class WordNetExpander:
     """``map_batches`` actor stage replicating EXTJWNL.extendQuery.
 
