@@ -27,6 +27,7 @@ from themis_search_engine_ray.pipelines import (
     fulltext,
     joins,
     multimodal,
+    sampling,
     similarity,
     sketches,
     windows,
@@ -81,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- heavy-hitters (exact + Misra-Gries sketch) ----
         "topk_terms_exact": sketches.topk_terms_exact,
         "topk_terms_sketch": sketches.topk_terms_sketch,
+        # ---- deterministic sampling + distribution summaries ----
+        "stratified_sample": sampling.stratified_sample,
+        "group_quantiles": sampling.group_quantiles,
         # ---- windowed aggregates over the events table ----
         "tumbling_counts": lambda sf: windows.tumbling_counts(sf).map_batches(
             _round_cols(["sum_value", "avg_value"]), batch_format="pyarrow"
@@ -421,6 +425,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # topk_terms_sketch: approximate (Misra-Gries) → rows-only; the
         # N/(m+1) error bound is asserted in tests/test_sketches.py.
+        "stratified_sample": (
+            "SELECT doc_id, source, lang FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '1999'"
+        ),
+        "group_quantiles": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "round(quantile_cont(value, 0.25), 6) AS q25, "
+            "round(quantile_cont(value, 0.5), 6) AS q50, "
+            "round(quantile_cont(value, 0.75), 6) AS q75, "
+            "round(quantile_cont(value, 0.9), 6) AS q90 "
+            "FROM events GROUP BY event_type"
+        ),
         "tumbling_counts": (
             "SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS window_start, "
             "event_type, CAST(count(*) AS BIGINT) AS n_events, "

@@ -1,0 +1,74 @@
+"""Deterministic sampling + group quantiles (pipelines/sampling.py)."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_stratified_sample_is_deterministic_and_correct_rule():
+    import hashlib
+
+    from themis_search_engine_ray.pipelines.sampling import stratified_sample
+
+    a = stratified_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = stratified_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # pure function of the row
+    for i in a["doc_id"]:
+        assert hashlib.md5(str(i).encode()).hexdigest()[:4] <= "1999"
+    # rate sanity: ~10% of 500
+    assert 20 <= len(a) <= 90
+
+
+def test_group_quantiles_match_numpy_reference():
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.sampling import (
+        _quantile_cont,
+        group_quantiles,
+    )
+
+    got = group_quantiles(SF).to_pandas().set_index("event_type")
+    tab = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    df = tab.to_pandas()
+    for et, grp in df.groupby("event_type"):
+        vals = np.sort(grp["value"].to_numpy())
+        assert got.loc[et, "n"] == len(vals)
+        # median within rounding of the independent numpy computation
+        assert abs(got.loc[et, "q50"] - float(np.quantile(vals, 0.5))) < 1e-5
+        # exact interpolation formula
+        assert got.loc[et, "q90"] == pytest.approx(
+            round(_quantile_cont(vals, 0.9), 6), abs=1e-9
+        )
+
+
+def test_quantile_cont_singleton_and_edges():
+    from themis_search_engine_ray.pipelines.sampling import _quantile_cont
+
+    assert _quantile_cont(np.array([7.0]), 0.9) == 7.0
+    v = np.array([1.0, 2.0, 3.0, 4.0])
+    assert _quantile_cont(v, 0.0) == 1.0
+    assert _quantile_cont(v, 1.0) == 4.0
+    assert _quantile_cont(v, 0.5) == 2.5
+
+
+def test_gather_ranges_equivalence():
+    from themis_search_engine_ray.stages.codec import (
+        gather_ranges,
+        ranges_to_indices,
+    )
+
+    rng = np.random.RandomState(3)
+    data = rng.randint(0, 1 << 40, size=10000).astype(np.uint64)
+    starts = rng.randint(0, 9000, size=300)
+    lens = rng.randint(0, 50, size=300)
+    np.testing.assert_array_equal(
+        gather_ranges(data, starts, lens),
+        data[ranges_to_indices(starts, lens)],
+    )
+    assert gather_ranges(data, np.array([]), np.array([])).size == 0
