@@ -270,7 +270,7 @@ def run_scaling() -> dict:
         int(c)
         for c in os.environ.get("RAY_GRAFT_SCALING_CPUS", "8,32").split(",")
     ]
-    repeats = int(os.environ.get("RAY_GRAFT_SCALING_REPEATS", "3"))
+    repeats = int(os.environ.get("RAY_GRAFT_SCALING_REPEATS", "4"))
 
     def run(ncpu: int) -> dict:
         env = dict(
