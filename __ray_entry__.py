@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_dup_pairs_lsh": dedup.embedding_dup_pairs_lsh,
+        "dedup_clusters": dedup.dedup_clusters,
         # ---- similarity search ----
         "knn_brute": similarity.knn_brute,
         "ivf_knn": similarity.ivf_knn,
@@ -483,6 +484,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a, b, round(i / (sa.n + sb.n - i), 6) AS jaccard "
             "FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b "
             "WHERE i / (sa.n + sb.n - i) >= 0.5"
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE raw AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x != '') AS ts FROM documents), "
+            "toksj AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS ord FROM raw), "
+            "tri AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh "
+            "FROM toksj a JOIN toksj b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1 "
+            "JOIN toksj c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2), "
+            "tset AS (SELECT DISTINCT doc_id, sh FROM tri), "
+            "sizes AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM tset GROUP BY doc_id), "
+            "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS DOUBLE) AS i "
+            "FROM tset x JOIN tset y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a "
+            "JOIN sizes sb ON sb.doc_id = b WHERE i / (sa.n + sb.n - i) >= 0.5), "
+            "sym AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs), "
+            "walk(node, label) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.node) "
+            "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster "
+            "FROM walk GROUP BY node"
         ),
         "embedding_dup_pairs": (
             "SELECT a.vec_id AS a, b.vec_id AS b, "

@@ -253,3 +253,52 @@ def test_embedding_lsh_recall_vs_exact():
         if c >= 0.7
     }
     assert strong <= lsh_pairs
+
+
+def test_dedup_clusters_are_connected_components():
+    """Label propagation must produce exactly the connected components
+    (min-id labels) of the verified ngram-jaccard pair graph, with
+    singletons labeling themselves."""
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(SF).to_pandas()
+    got = dedup_clusters(SF).to_pandas()
+
+    # union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        union(int(a), int(b))
+    all_ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    # min-id per component
+    members: dict[int, list[int]] = {}
+    for i in all_ids:
+        members.setdefault(find(i), []).append(i)
+    want = {}
+    for root, ms in members.items():
+        lo = min(ms)
+        for m in ms:
+            want[m] = lo
+    got_map = dict(zip(got["doc_id"].astype(int), got["cluster"].astype(int)))
+    assert got_map == want
+    # sanity: some non-trivial cluster exists on the sf tables
+    assert any(v != k for k, v in got_map.items())

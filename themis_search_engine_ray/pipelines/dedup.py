@@ -469,6 +469,87 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
+# ------------------------------------------- duplicate-cluster labels
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3, max_iters: int = 25):
+    """Connected components over the near-duplicate graph: every doc
+    labeled with the MIN doc_id of its duplicate cluster (singletons
+    label themselves) — the canonical "keep one per cluster" rule.
+
+    Distributed iterative label propagation (min-label flooding), all
+    Ray Data: edges = :func:`ngram_jaccard_pairs` (a, b) made symmetric;
+    labels start as (node, node); each round hash-joins labels to edges,
+    sends each node's label to its neighbors, and takes
+    ``groupby(node).min(label)``. Labels fall monotonically, so the
+    round count is bounded by the cluster diameter (≤ log₂ n rounds for
+    min-flooding on typical dup clusters; ``max_iters`` caps
+    pathological chains) and convergence is detected by the (cheap)
+    global label sum. Per round the shuffle moves (node, label) int
+    pairs only — never text.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    edges = (
+        ngram_jaccard_pairs(sf_dir, threshold, k)
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return pa.Table.from_pydict(
+            {
+                "src": np.concatenate((a, b)),
+                "dst": np.concatenate((b, a)),
+            }
+        )
+
+    edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    n_edges = edges_sym.count()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return pa.Table.from_pydict({"node": ids, "label": ids})
+
+    labels = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    if n_edges == 0:
+        return labels.select_columns(["node", "label"]).rename_columns(
+            ["doc_id", "cluster"]
+        )
+
+    nparts = 8
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = (
+            edges_sym.join(
+                labels, "inner", nparts, on=("src",), right_on=("node",)
+            )
+            .select_columns(["dst", "label"])
+            .rename_columns(["node", "label"])
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and cur == prev_sum:
+            break  # fixpoint: no label changed this round
+        prev_sum = cur
+
+    return labels.select_columns(["node", "label"]).rename_columns(
+        ["doc_id", "cluster"]
+    )
+
+
 # --------------------------------------------------- embedding cosine
 
 
