@@ -27,6 +27,7 @@ from themis_search_engine_ray.pipelines import (
     fulltext,
     joins,
     multimodal,
+    relational,
     sampling,
     similarity,
     sketches,
@@ -86,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- deterministic sampling + distribution summaries ----
         "stratified_sample": sampling.stratified_sample,
         "group_quantiles": sampling.group_quantiles,
+        # ---- relational pipelines over the TPC-H-style tables ----
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "top_suppliers": relational.top_suppliers,
         # ---- windowed aggregates over the events table ----
         "tumbling_counts": lambda sf: windows.tumbling_counts(sf).map_batches(
             _round_cols(["sum_value", "avg_value"]), batch_format="pyarrow"
@@ -429,6 +434,29 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": (
             "SELECT doc_id, source, lang FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '1999'"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 0) AS sum_qty, "
+            "round(sum(l_extendedprice), 0) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price, "
+            "round(sum(l_quantity) / count(*), 4) AS avg_qty, "
+            "round(sum(l_extendedprice) / count(*), 4) AS avg_price, "
+            "CAST(count(*) AS BIGINT) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "top_suppliers": (
+            "WITH r AS (SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev "
+            "FROM lineitem GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, round(rev, 0) AS revenue "
+            "FROM r JOIN supplier ON l_suppkey = s_suppkey "
+            "ORDER BY rev DESC, l_suppkey ASC LIMIT 10"
         ),
         "group_quantiles": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "

@@ -302,3 +302,52 @@ def test_dedup_clusters_are_connected_components():
     assert got_map == want
     # sanity: some non-trivial cluster exists on the sf tables
     assert any(v != k for k, v in got_map.items())
+
+
+def test_relational_pipelines_match_duckdb():
+    """TPC-H-shape pipelines (partial-agg Q1, big-big join Q5, top-k
+    Q15) match DuckDB on the sf0.001 tables."""
+    import duckdb
+
+    from themis_search_engine_ray.pipelines.relational import (
+        pricing_summary,
+        revenue_by_nation,
+        top_suppliers,
+    )
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    got = (
+        pricing_summary(SF)
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),0) sum_qty, "
+        "CAST(count(*) AS BIGINT) count_order FROM lineitem "
+        "GROUP BY 1,2 ORDER BY 1,2"
+    ).df()
+    assert (got["count_order"].to_numpy() == want["count_order"].to_numpy()).all()
+    assert (got["sum_qty"].to_numpy() == want["sum_qty"].to_numpy()).all()
+
+    rev = revenue_by_nation(SF).to_pandas().set_index("n_name")["revenue"]
+    want_rev = con.execute(
+        "SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),0) r "
+        "FROM lineitem JOIN orders ON l_orderkey=o_orderkey "
+        "JOIN customer ON o_custkey=c_custkey "
+        "JOIN nation ON c_nationkey=n_nationkey GROUP BY 1"
+    ).df().set_index("n_name")["r"]
+    assert dict(rev) == dict(want_rev)
+
+    top = top_suppliers(SF, k=5).to_pandas()
+    want_top = con.execute(
+        "WITH r AS (SELECT l_suppkey, sum(l_extendedprice*(1-l_discount)) rev "
+        "FROM lineitem GROUP BY 1) SELECT l_suppkey FROM r "
+        "ORDER BY rev DESC, l_suppkey LIMIT 5"
+    ).df()
+    assert top["s_suppkey"].tolist() == want_top["l_suppkey"].tolist()
