@@ -3,13 +3,19 @@
 Dataflow per build partition (a disjoint group of input files) — ONE
 read, ONE analyze, ONE shuffle:
 
-    read_parquet(cols: conv_id, turn_idx, text)       # prune at the read
-      map_batches(FragmentBatcher(emit_doc_stats=True))   # combiner:
-        → posting fragments (gkey ≥ 0) + packed doc-stat rows (gkey < 0)
-      groupby("gkey")                                 # THE shuffle
-      map_groups(SegmentWriter) → segments/seg-*.parquet
-                                → doc_stats/salt=*/ (sentinel groups)
-                                → per-group manifest rows
+    row-group-aligned read chunks (cols: conv_id, turn_idx, text)
+      one Ray task per chunk: read → FragmentBatcher (vectorized
+        whole-batch combiner) → fragment rows pre-split per group
+        (posting gkeys ≥ 0 + doc-stat sentinels gkey < 0), returned as
+        num_returns=n_route buffer-owned Arrow tables
+      raw static-domain exchange                      # THE shuffle
+        (group domain is KNOWN: 2^salt_bits·term_parts + 2^salt_bits;
+         one writer task per group pulls its slices — no boundary
+         sampling, no sort barrier; exchange="dataset" keeps the
+         byte-identical groupby("gkey") Dataset path)
+      SegmentWriter → segments/seg-*.parquet
+                    → doc_stats/salt=*/ (sentinel groups)
+                    → per-group manifest rows
 
 Finalize (across partitions):
     read segments (term, df) → groupby(term).sum → term_stats/   (global df)
