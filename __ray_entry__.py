@@ -25,6 +25,7 @@ from themis_search_engine_ray.functions.analyzer import STOPWORDS
 from themis_search_engine_ray.pipelines import (
     dedup,
     fulltext,
+    graph,
     joins,
     multimodal,
     relational,
@@ -68,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_dup_pairs_lsh": dedup.embedding_dup_pairs_lsh,
         "dedup_clusters": dedup.dedup_clusters,
+        # ---- iterative graph analytics (working replacement for the
+        # reference's abandoned PageRank stub — rows-only) ----
+        "pagerank_dup_graph": graph.pagerank_dup_graph,
         # ---- similarity search ----
         "knn_brute": similarity.knn_brute,
         "ivf_knn": similarity.ivf_knn,
