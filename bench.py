@@ -173,10 +173,17 @@ def run_bench(build_only: bool = False) -> dict:
     batch_qps = n_scored / timings["batch_queries_2000"]
 
     # --- scaled dedup (MinHash LSH with distributed join verify) ---
-    def as_docs(n_limit: int):
+    def as_docs(n_target: int):
         import pyarrow as pa
 
         from themis_search_engine_ray.stages.tokenize import doc_keys_batch
+
+        # hash-deterministic sample (doc_id mod threshold): the same
+        # ~n_target docs regardless of read/block order, so the
+        # minhash_pairs count is comparable across rounds (a limit()
+        # sample drifts with read order)
+        rate = min(1.0, n_target / max(1, n_turns))
+        cut = int(rate * (1 << 16))
 
         def to_doc(batch: pa.Table) -> pa.Table:
             import numpy as np
@@ -184,19 +191,20 @@ def run_bench(build_only: bool = False) -> dict:
             ids = doc_keys_batch(
                 batch["conv_id"].to_pylist(), batch["turn_idx"].to_pylist()
             ).astype(np.int64)
-            return pa.Table.from_arrays([pa.array(ids), batch["text"]], names=["doc_id", "text"])
+            keep = (ids & 0xFFFF) < cut
+            return pa.Table.from_arrays(
+                [pa.array(ids[keep]), batch["text"].filter(pa.array(keep))],
+                names=["doc_id", "text"],
+            )
 
         return (
             rd.read_parquet(corpus, columns=["conv_id", "turn_idx", "text"])
-            .limit(n_limit)
             .map_batches(to_doc, batch_format="pyarrow", zero_copy_batch=True)
         )
 
     t0 = time.time()
-    # materialize: minhash_pairs_ds executes its input more than once and
-    # an unordered limit() is nondeterministic across executions.
-    # repartition: limit() collapses to ~1 block, which would serialize
-    # the signature map — split so every core gets work.
+    # materialize: minhash_pairs_ds executes its input more than once.
+    # repartition: spread the sample so every core gets signature work.
     docs_sample = (
         as_docs(min(n_turns, 30_000)).repartition(num_cpus * 2).materialize()
     )
