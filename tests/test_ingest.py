@@ -1,0 +1,61 @@
+"""JSONL/CSV transcript ingestion → normalized Parquet → full index
+build end to end (sources/ingest.py)."""
+
+import json
+import os
+
+import pytest
+
+from themis_search_engine_ray.oracle import ThemisOracle
+from themis_search_engine_ray.pipelines.index_build import BuildConfig, build_index
+from themis_search_engine_ray.sources.ingest import ingest_transcripts
+from themis_search_engine_ray.state.searcher import LocalSearchEngine
+
+ROWS = [
+    {"conv_id": f"c{i % 5}", "turn_idx": i // 5, "text": f"alpha data beta turn {i} agent response"}
+    for i in range(60)
+]
+
+
+def _check_built(idx, rows):
+    eng = LocalSearchEngine(idx)
+    oracle = ThemisOracle([(r["conv_id"], r["turn_idx"], r["text"]) for r in rows])
+    got = [(h.conv_id, h.turn_idx, h.score) for h in eng.search("alpha data", k=10)]
+    want = [(h.conv_id, h.turn_idx, h.score) for h in oracle.search("alpha data", k=10)]
+    assert got == want
+
+
+def test_ingest_jsonl_and_build(ray_session, tmp_path):
+    src = tmp_path / "turns.jsonl"
+    with open(src, "w") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+    out = str(tmp_path / "norm")
+    meta = ingest_transcripts(str(src), out)
+    assert meta["rows"] == len(ROWS)
+    idx = str(tmp_path / "idx")
+    build_index(out, idx, BuildConfig(num_partitions=1, term_parts=2, salt_bits=1))
+    _check_built(idx, ROWS)
+
+
+def test_ingest_csv_drops_null_keys(ray_session, tmp_path):
+    src = tmp_path / "turns.csv"
+    with open(src, "w") as f:
+        f.write("conv_id,turn_idx,text\n")
+        for r in ROWS:
+            f.write(f"{r['conv_id']},{r['turn_idx']},{r['text']}\n")
+        f.write(",,orphan row without keys\n")
+    out = str(tmp_path / "norm_csv")
+    meta = ingest_transcripts(str(src), out)
+    assert meta["rows"] == len(ROWS)  # null-key row dropped
+    idx = str(tmp_path / "idx_csv")
+    build_index(out, idx, BuildConfig(num_partitions=1, term_parts=2, salt_bits=1))
+    _check_built(idx, ROWS)
+
+
+def test_ingest_missing_column_raises(ray_session, tmp_path):
+    src = tmp_path / "bad.jsonl"
+    with open(src, "w") as f:
+        f.write(json.dumps({"conv_id": "c0", "text": "no turn idx"}) + "\n")
+    with pytest.raises(Exception, match="turn_idx"):
+        ingest_transcripts(str(src), str(tmp_path / "bad_out")).get("rows")
