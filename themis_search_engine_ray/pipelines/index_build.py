@@ -88,11 +88,13 @@ class BuildConfig:
         return 1 << self.salt_bits
 
     def fingerprint(self) -> str:
+        # dk=2: vectorized splitmix64 doc-id hash (stages/tokenize.py) —
+        # doc ids differ from dk=1 indexes, so the fingerprint isolates them
         return (
             f"{self.analyzer.fingerprint};salt_bits={self.salt_bits};"
             f"parts={self.term_parts};pos={int(self.with_positions)};"
             f"text={int(self.store_text)};role={int(self.with_role)};"
-            f"ids={self.doc_id_mode}"
+            f"ids={self.doc_id_mode};dk=2"
         )
 
 

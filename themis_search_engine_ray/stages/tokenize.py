@@ -13,8 +13,12 @@ transforms over zero-copy Arrow batches of transcript turns:
 
 Doc identity / sharding scheme
 ------------------------------
-``doc_id = blake2b64(conv_id \\x1f turn_idx) & (2^63-1)`` — stable,
-shuffle-free, uniform. ``salt = doc_id >> (63 - salt_bits)`` — the top
+``doc_id = mix64(blake2b64(conv_id) ^ mix64(turn_idx + GOLDEN)) &
+(2^63-1)`` — stable, shuffle-free, uniform, and vectorizable: the
+string hash runs once per *unique* conv (dictionary-encode + a
+module-level memo; a conversation contributes many turns), the
+splitmix64 finalizer combines with ``turn_idx`` as whole-batch numpy
+ops. ``salt = doc_id >> (63 - salt_bits)`` — the top
 bits, so each salt bucket is a contiguous doc_id *range*: per-term
 posting runs from different salt buckets are disjoint, sorted ranges
 that concatenate in salt order without re-sorting. This doubles as the
@@ -47,9 +51,6 @@ from ..functions.analyzer import (
     AnalyzerConfig,
     DEFAULT_CONFIG,
     STOPWORDS,
-    analyze_doc,
-    analyze_tokens,
-    tokenize,
 )
 from ..functions.porter import stem_token
 
@@ -79,10 +80,55 @@ def _cumsum_excl(counts: np.ndarray) -> np.ndarray:
     return out
 
 
+def token_codes_batch(text_col):
+    """Vectorized M1-M2 over a whole Arrow text column: normalize →
+    whitespace-split → flatten → dictionary-encode. Returns
+    ``(uniq, codes, lens, n)`` where ``uniq`` is the batch's unique-token
+    list, ``codes[i]`` indexes ``uniq`` for flat token i (doc boundaries
+    from ``lens``), and empty-string split artifacts (Arrow emits them
+    for leading/trailing runs; Python's ``str.split()`` never does) are
+    NOT yet dropped — their code is flagged so callers can mask them.
+    Shared by the index build, df/count pipelines and dedup shingling."""
+    import pyarrow.compute as pc
+
+    norm = normalize_column(text_col, as_arrow=True)
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    n = len(norm)
+    toks = pc.ascii_split_whitespace(norm)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq: list[str] = enc.dictionary.to_pylist()
+    return uniq, codes, lens, n
+
+
+def batch_token_counts(text_col) -> tuple[list[str], np.ndarray]:
+    """Whole-batch token counts, row-wise identical to summing
+    ``Counter(tokenize(text))`` over the batch: returns (tokens, counts)
+    for every distinct normalized token. Python touches nothing per row
+    — one bincount over the dictionary codes."""
+    uniq, codes, _, _ = token_codes_batch(text_col)
+    counts = np.bincount(codes, minlength=len(uniq))
+    toks: list[str] = []
+    keep: list[int] = []
+    for u, tok in enumerate(uniq):
+        if tok:
+            toks.append(tok)
+            keep.append(u)
+    return toks, counts[np.asarray(keep, np.int64)] if keep else np.empty(0, np.int64)
+
+
 def analyze_batch(
     text_col,
     config: AnalyzerConfig = DEFAULT_CONFIG,
     with_positions: bool = True,
+    with_tf: bool = True,
 ):
     """Vectorized M1-M8 analysis of a whole Arrow text column.
 
@@ -100,27 +146,17 @@ def analyze_batch(
     by ``(doc, stem)``; ``pos_sorted[pair_pos_start[i] : pair_pos_start[i]
     + pair_count[i]]`` are pair i's ascending token positions (positions
     index the normalized token stream *including* stopword slots).
-    """
-    import pyarrow.compute as pc
 
+    ``with_positions=False`` skips position bookkeeping (pos_sorted /
+    pair_pos_start are None); ``with_tf=False`` additionally skips the
+    max-normalized-tf division rounds (pair_tf is None) — the fast path
+    for df/count pipelines that only need (doc, stem) pairs.
+    """
     stem_cache = _STEM_CACHE
     use_stop = config.use_stopwords
     use_stem = config.use_stemmer
 
-    norm = normalize_column(text_col, as_arrow=True)
-    if isinstance(norm, pa.ChunkedArray):
-        norm = norm.combine_chunks()
-    n = len(norm)
-    toks = pc.ascii_split_whitespace(norm)
-    flat = pc.list_flatten(toks)
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    enc = pc.dictionary_encode(flat)
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq: list[str] = enc.dictionary.to_pylist()
+    uniq, codes, lens, n = token_codes_batch(text_col)
     U = max(1, len(uniq))
 
     # map each unique token -> local stem id (-1 = dropped). Arrow's
@@ -163,55 +199,113 @@ def analyze_batch(
         codes = codes[real]
         doc_idx = doc_idx[real]
         lens = np.bincount(doc_idx, minlength=n)
-    pos_all = np.arange(codes.size, dtype=np.int64) - np.repeat(_cumsum_excl(lens), lens)
+    if with_positions:
+        pos_all = np.arange(codes.size, dtype=np.int64) - np.repeat(
+            _cumsum_excl(lens), lens
+        )
 
     # stage B: drop stopwords (position slots already assigned)
     sid_all = stem_of[codes]
     keep = sid_all >= 0
     kd = doc_idx[keep]
     ks = sid_all[keep]
-    kc = codes[keep]
-    kpos = pos_all[keep]
 
     dls = np.bincount(kd, minlength=n).astype(np.float64)
 
     # group kept tokens by (doc, stem); stable sort keeps positions ascending
     key = kd * S + ks
-    order = np.argsort(key, kind="stable")
-    skey = key[order]
-    pos_sorted = kpos[order]
-    ukey, first, pair_count = np.unique(skey, return_index=True, return_counts=True)
+    if with_positions:
+        kpos = pos_all[keep]
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        pos_sorted = kpos[order]
+        ukey, first, pair_count = np.unique(skey, return_index=True, return_counts=True)
+        pair_pos_start = first.astype(np.int64)
+    else:
+        pos_sorted = None
+        pair_pos_start = None
+        ukey, pair_count = np.unique(key, return_counts=True)
     pair_doc = ukey // S
     pair_stem = (ukey % S).astype(np.int64)
-    pair_pos_start = first.astype(np.int64)
 
-    # rawn: distinct raw tokens feeding each (doc, stem) pair — via the
-    # distinct (doc, raw-token) keys (max n*U, no 3-way key overflow)
-    urk = np.unique(kd * U + kc)
-    upair = np.searchsorted(ukey, (urk // U) * S + stem_of[urk % U])
-    rawn = np.bincount(upair, minlength=ukey.size)
+    if with_tf:
+        kc = codes[keep]
+        # rawn: distinct raw tokens feeding each (doc, stem) pair — via the
+        # distinct (doc, raw-token) keys (max n*U, no 3-way key overflow)
+        urk = np.unique(kd * U + kc)
+        upair = np.searchsorted(ukey, (urk // U) * S + stem_of[urk % U])
+        rawn = np.bincount(upair, minlength=ukey.size)
 
-    # max_fieldfreq per doc (floor 1.0, Indexer.java:287)
-    maxtf_doc = np.ones(n, np.float64)
-    np.maximum.at(maxtf_doc, pair_doc, pair_count.astype(np.float64))
+        # max_fieldfreq per doc (floor 1.0, Indexer.java:287)
+        maxtf_doc = np.ones(n, np.float64)
+        np.maximum.at(maxtf_doc, pair_doc, pair_count.astype(np.float64))
 
-    # sequential divisions, one vector pass per round (Indexer.java:410-418)
-    tf = pair_count.astype(np.float64)
-    mt = maxtf_doc[pair_doc]
-    r = rawn.copy()
-    while True:
-        m = r > 0
-        if not m.any():
-            break
-        tf[m] /= mt[m]
-        r[m] -= 1
+        # sequential divisions, one vector pass per round (Indexer.java:410-418)
+        tf = pair_count.astype(np.float64)
+        mt = maxtf_doc[pair_doc]
+        r = rawn.copy()
+        while True:
+            m = r > 0
+            if not m.any():
+                break
+            tf[m] /= mt[m]
+            r[m] -= 1
+    else:
+        tf = None
 
     return dls, pair_doc, pair_stem, stems, pair_count.astype(np.int64), tf, pos_sorted, pair_pos_start
 
 
+# Doc-id hash v2 (fingerprint "dk=2"): blake2b of the conv string —
+# computed once per UNIQUE conv and memoized — combined with turn_idx
+# through a splitmix64 finalizer that runs as whole-batch numpy ops.
+# v1 hashed the f"{conv}\x1f{turn}" string per ROW (one Python blake2b
+# call per turn — the last per-row Python in the build hot path).
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+_GOLDEN = 0x9E3779B97F4A7C15
+_MIX_A = 0xBF58476D1CE4E5B9
+_MIX_B = 0x94D049BB133111EB
+
+
+def _mix64_scalar(x: int) -> int:
+    x &= _MASK64
+    x ^= x >> 30
+    x = (x * _MIX_A) & _MASK64
+    x ^= x >> 27
+    x = (x * _MIX_B) & _MASK64
+    return x ^ (x >> 31)
+
+
+def _mix64_vec(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(_MIX_A)  # uint64 wraps mod 2^64
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(_MIX_B)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+_CONV_HASH_CACHE: dict[str, int] = {}
+_CONV_HASH_CACHE_MAX = 1 << 20
+
+
+def _conv_hash64(conv_id: str) -> int:
+    h = _CONV_HASH_CACHE.get(conv_id)
+    if h is None:
+        h = int.from_bytes(
+            hashlib.blake2b(conv_id.encode(), digest_size=8).digest(), "little"
+        )
+        if len(_CONV_HASH_CACHE) < _CONV_HASH_CACHE_MAX:
+            _CONV_HASH_CACHE[conv_id] = h
+    return h
+
+
 def doc_key(conv_id: str, turn_idx: int) -> int:
-    h = hashlib.blake2b(f"{conv_id}\x1f{turn_idx}".encode(), digest_size=8).digest()
-    return int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF
+    return (
+        _mix64_scalar(_conv_hash64(conv_id) ^ _mix64_scalar(int(turn_idx) + _GOLDEN))
+        & 0x7FFFFFFFFFFFFFFF
+    )
 
 
 @lru_cache(maxsize=1 << 20)
@@ -221,10 +315,30 @@ def term_part(term: str, parts: int) -> int:
 
 
 def doc_keys_batch(conv_ids, turn_idxs) -> np.ndarray:
-    out = np.empty(len(conv_ids), dtype=np.uint64)
-    for i, (c, t) in enumerate(zip(conv_ids, turn_idxs)):
-        out[i] = doc_key(c, t)
-    return out
+    """Vectorized ``doc_key`` over a batch. ``conv_ids`` may be an Arrow
+    string array/column or a Python list; ``turn_idxs`` any int sequence.
+    Python work is one memoized blake2b per unique conv; the combine is
+    numpy."""
+    import pyarrow.compute as pc
+
+    if not isinstance(conv_ids, (pa.Array, pa.ChunkedArray)):
+        conv_ids = pa.array(conv_ids, pa.string())
+    enc = pc.dictionary_encode(conv_ids)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_h = np.fromiter(
+        (_conv_hash64(c) for c in enc.dictionary.to_pylist()),
+        np.uint64,
+        len(enc.dictionary),
+    )
+    if isinstance(turn_idxs, (pa.Array, pa.ChunkedArray)):
+        turns = turn_idxs.to_numpy(zero_copy_only=False)
+    else:
+        turns = np.asarray(turn_idxs)
+    t = turns.astype(np.uint64) + np.uint64(_GOLDEN)
+    out = _mix64_vec(uniq_h[codes] ^ _mix64_vec(t))
+    return out & np.uint64(0x7FFFFFFFFFFFFFFF)
 
 
 class DocStatsBatcher:
@@ -235,19 +349,17 @@ class DocStatsBatcher:
         self.salt_bits = salt_bits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv = batch["conv_id"].to_pylist()
-        turn = batch["turn_idx"].to_pylist()
-        texts = batch["text"].to_pylist()
+        # dl counts every occurrence of non-stopword tokens; vectorized:
+        # Python touches only the batch's unique tokens
+        uniq, codes, lens, n = token_codes_batch(batch["text"])
         use_stop = self.config.use_stopwords
-        dls = np.empty(len(texts), dtype=np.int32)
-        for i, t in enumerate(texts):
-            toks = tokenize(t if t is not None else "")
-            if use_stop:
-                # dl counts every occurrence of non-stopword tokens
-                dls[i] = sum(1 for x in toks if x not in STOPWORDS)
-            else:
-                dls[i] = len(toks)
-        ids = doc_keys_batch(conv, turn)
+        drop = np.zeros(max(1, len(uniq)), bool)
+        for u, tok in enumerate(uniq):
+            drop[u] = (not tok) or (use_stop and tok in STOPWORDS)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        kept = ~drop[codes]
+        dls = np.bincount(doc_of[kept], minlength=n).astype(np.int32)
+        ids = doc_keys_batch(batch["conv_id"], batch["turn_idx"])
         salts = (ids >> np.uint64(63 - self.salt_bits)).astype(np.int32)
         return pa.Table.from_arrays(
             [
@@ -336,7 +448,7 @@ class FragmentBatcher:
             # doc_id_mode="dense"); top salt_bits must still be the salt
             ids = batch["doc_id"].to_numpy().astype(np.uint64)
         else:
-            ids = doc_keys_batch(conv, turn)
+            ids = doc_keys_batch(batch["conv_id"], batch["turn_idx"])
         shift = np.uint64(63 - self.salt_bits)
         with_pos = self.with_positions
         P = self.term_parts
