@@ -88,17 +88,19 @@ def doc_stats(sf_dir: str):
 def _term_df(sf_dir: str, cfg: AnalyzerConfig):
     from ray.data.aggregate import Sum
 
-    from ..functions.analyzer import analyze_doc
+    from ..stages.tokenize import analyze_batch
 
     def partial_df(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch["text"].to_pylist():
-            for stem in analyze_doc(t if t is not None else "", cfg).tfs:
-                counts[stem] = counts.get(stem, 0) + 1
+        # vectorized M1-M8 fast path: df per stem = #(doc, stem) pairs
+        # (identical to counting analyze_doc(t).tfs keys per doc)
+        _, _, pair_stem, stems, _, _, _, _ = analyze_batch(
+            batch["text"], cfg, with_positions=False, with_tf=False
+        )
+        df = np.bincount(pair_stem, minlength=len(stems)).astype(np.int64)
         return pa.Table.from_pydict(
             {
-                "term": pa.array(list(counts.keys()), pa.string()),
-                "df_part": pa.array(list(counts.values()), pa.int64()),
+                "term": pa.array(stems, pa.string()),
+                "df_part": pa.array(df),
             }
         )
 

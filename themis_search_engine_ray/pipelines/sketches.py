@@ -24,15 +24,14 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.analyzer import tokenize
+from ..stages.tokenize import batch_token_counts
 
 
 def _batch_counts(batch: pa.Table) -> dict[str, int]:
-    counts: dict[str, int] = {}
-    for t in batch["text"].to_pylist():
-        for tok in tokenize(t if t is not None else ""):
-            counts[tok] = counts.get(tok, 0) + 1
-    return counts
+    # vectorized: whole-column tokenize + one bincount over dictionary
+    # codes; identical to summing Counter(tokenize(text)) per row
+    toks, counts = batch_token_counts(batch["text"])
+    return dict(zip(toks, counts.tolist()))
 
 
 def misra_gries(counts: dict[str, int], capacity: int) -> dict[str, int]:

@@ -266,16 +266,13 @@ def unigram_logprob(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def count_rows(batch: pa.Table) -> pa.Table:
-        from ..functions.analyzer import tokenize
+        from ..stages.tokenize import batch_token_counts
 
-        counts: dict[str, int] = {}
-        for t in batch["text"].to_pylist():
-            for tok in tokenize(t if t is not None else ""):
-                counts[tok] = counts.get(tok, 0) + 1
+        toks, counts = batch_token_counts(batch["text"])
         return pa.Table.from_pydict(
             {
-                "term": pa.array(list(counts.keys()), pa.string()),
-                "count": pa.array(list(counts.values()), pa.int64()),
+                "term": pa.array(toks, pa.string()),
+                "count": pa.array(counts.astype(np.int64)),
             }
         )
 
@@ -293,19 +290,28 @@ def unigram_logprob(sf_dir: str):
     ref = ray.put((logp, total))
 
     def score(batch: pa.Table) -> pa.Table:
-        from ..functions.analyzer import tokenize
+        from ..stages.tokenize import token_codes_batch
 
         lp, _ = ray.get(ref)
-        texts = batch["text"].to_pylist()
-        n_tok = np.zeros(len(texts), np.int64)
-        mean_lp = np.zeros(len(texts), np.float64)
-        for i, t in enumerate(texts):
-            toks = tokenize(t if t is not None else "")
-            n_tok[i] = len(toks)
-            if toks:
-                mean_lp[i] = round_half_up(
-                    sum(lp[x] for x in toks) / len(toks), 6
-                )
+        uniq, codes, lens, n = token_codes_batch(batch["text"])
+        # per-unique lookup (Python touches the batch vocabulary only);
+        # '' split artifacts get weight 0 and are excluded from counts
+        lp_of = np.zeros(max(1, len(uniq)), np.float64)
+        real = np.zeros(max(1, len(uniq)), bool)
+        for u, tok in enumerate(uniq):
+            if tok:
+                lp_of[u] = lp[tok]
+                real[u] = True
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = real[codes]
+        kd = doc_of[keep]
+        n_tok = np.bincount(kd, minlength=n).astype(np.int64)
+        # bincount accumulates in input order == token order per doc, the
+        # same IEEE sum sequence as the scalar loop it replaces
+        sums = np.bincount(kd, weights=lp_of[codes][keep], minlength=n)
+        mean_lp = np.zeros(n, np.float64)
+        nz = n_tok > 0
+        mean_lp[nz] = round_half_up(sums[nz] / n_tok[nz], 6)
         return pa.Table.from_arrays(
             [batch["doc_id"], pa.array(n_tok), pa.array(mean_lp)],
             names=["doc_id", "n_tokens", "mean_logprob"],
