@@ -179,7 +179,7 @@ def compute_dense_offsets(files: list[str], salt_bits: int) -> dict:
 
     tab = (
         rd.from_items([{"file": f} for f in files])
-        .map_batches(count_file)
+        .map_batches(count_file, batch_size=1)  # one task per file
         .to_pandas()
     )
     by_file = dict(zip(tab["file"], tab["counts"]))
@@ -690,7 +690,7 @@ def finalize_index(out_dir: str, cfg: BuildConfig, n_partitions: int) -> dict:
 
         (
             rd.from_items(items)
-            .map_batches(partial_df)
+            .map_batches(partial_df, batch_size=1)  # one task per chunk
             .groupby("term")
             .aggregate(Sum("df", alias_name="df"))
             .write_parquet(tmp_ts)
@@ -864,9 +864,13 @@ def compact_index(index_dir: str) -> str:
         )
 
     items = [{"gkey": g, "files": f} for g, f in sorted(files_by_gkey.items())]
+    # batch_size=1: one task per gkey group. Without it Ray's min-rows
+    # input bundling (default 1024) coalesces ALL item rows into a
+    # single task — measured as compaction running serially (12 s
+    # single-shot in BENCH_r02 with 64 idle cores).
     stats = (
         rd.from_items(items)
-        .map_batches(compact_group)
+        .map_batches(compact_group, batch_size=1)
         .to_pandas()
     )
 
@@ -959,6 +963,12 @@ def compact_index(index_dir: str) -> str:
     return out_root
 
 
+# reduce-group domain for the norm pass: bounded and corpus-size-free,
+# so the groupby shuffle has ~256 groups (each a vectorized numpy
+# reduction over n_docs/256 docs) instead of one group per document
+_NORM_GROUPS = 256
+
+
 def build_norms(index_dir: str) -> str:
     """VSM doc-norm pass (A4) as a Ray pipeline; idempotent.
 
@@ -971,9 +981,12 @@ def build_norms(index_dir: str) -> str:
       term-hash partition's segment rows from EVERY salt & build
       partition (a term's full postings live in one term_part, so
       global df = Σ local df needs no shuffle), decode runs, accumulate
-      per-doc Σw² partials in a bounded dict → rows (doc_id, kp, w2)
-      → groupby("doc_id").map_groups: sum partials in ascending-kp
-      order (deterministic float accumulation) → sqrt → write
+      per-doc Σw² partials in a bounded dict → rows (dgrp, doc_id, kp,
+      seq, w2) → groupby("dgrp").map_groups (dgrp = doc_id % 256 — a
+      BOUNDED group domain, so the reduce is ~256 vectorized group
+      calls, not one Python call per document): within each group,
+      sum each doc's partials in ascending (kp, seq) order
+      (deterministic float accumulation) → sqrt → write
       ``norms/salt=*/`` parquet.
 
     idf here is the *integer-division* variant (Indexer.java:766) — see
@@ -1057,15 +1070,18 @@ def build_norms(index_dir: str) -> str:
         if not out_ids:
             return pa.Table.from_pydict(
                 {
+                    "dgrp": pa.array([], pa.int32()),
                     "doc_id": pa.array([], pa.int64()),
                     "kp": pa.array([], pa.int32()),
                     "seq": pa.array([], pa.int32()),
                     "w2": pa.array([], pa.float64()),
                 }
             )
+        ids_cat = np.concatenate(out_ids).astype(np.int64)
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(np.concatenate(out_ids).astype(np.int64)),
+                "dgrp": pa.array((ids_cat % _NORM_GROUPS).astype(np.int32)),
+                "doc_id": pa.array(ids_cat),
                 "kp": pa.array(np.concatenate(out_kp)),
                 "seq": pa.array(np.concatenate(out_seq)),
                 "w2": pa.array(np.concatenate(out_w2)),
@@ -1100,8 +1116,8 @@ def build_norms(index_dir: str) -> str:
     if items:
         (
             rd.from_items(items)
-            .map_batches(w2_partials)
-            .groupby("doc_id")
+            .map_batches(w2_partials, batch_size=1)  # one task per term part
+            .groupby("dgrp")
             .map_groups(norm_group, batch_format="pyarrow")
             .write_parquet(tmp_dir, partition_cols=["salt"])
         )
