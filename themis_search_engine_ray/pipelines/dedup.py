@@ -64,6 +64,76 @@ def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
 
 
+# ------------------------------------------- vectorized batch shingling
+#
+# Candidate discovery (LSH banding, shingle inverted index) runs off
+# 64-bit shingle HASHES computed whole-batch: one blake2b per UNIQUE
+# token (memoized — corpus vocabularies are small), then a rolling
+# polynomial combine over the flat token-hash array as numpy ops. The
+# per-doc Python loop this replaces (regex findall + " ".join + blake2b
+# per shingle) was the minhash bench stage's whole cost. Hash collisions
+# can only ADD candidates (same shingle always maps to the same hash),
+# and every candidate is exact-verified downstream, so pair outputs are
+# unchanged in distribution; _shingles (string sets) remains the
+# verification currency.
+
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 1 << 20
+_SHINGLE_B = np.uint64(1099511628211)  # FNV prime as the rolling base
+
+
+def _token_hash_cached(tok: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        h = _hash64(tok)
+        if len(_TOKEN_HASH_CACHE) < _TOKEN_HASH_CACHE_MAX:
+            _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
+def _token_hash_codes(text_col):
+    """(doc_of, token_hashes u64, n_docs) over the normalized token
+    stream — tokenization identical to ``_WORD_RE.findall(text.lower())``
+    (runs of [a-z0-9]); '' split artifacts dropped."""
+    from ..stages.tokenize import token_codes_batch
+
+    uniq, codes, lens, n = token_codes_batch(text_col)
+    th = np.fromiter(
+        (_token_hash_cached(t) if t else 0 for t in uniq), np.uint64, len(uniq)
+    )
+    real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    if len(uniq):
+        keep = real[codes]
+        return doc_of[keep], th[codes[keep]], n
+    return doc_of, np.empty(0, np.uint64), n
+
+
+def _shingle_hashes_batch(text_col, k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-doc DEDUPED k-gram shingle hashes for a whole Arrow text
+    column: returns (doc_idx, shingle_hash u64, n_docs), doc_idx
+    ascending (shingle order within a doc unspecified — callers treat
+    them as sets)."""
+    doc_of, th, n = _token_hash_codes(text_col)
+    m = th.size
+    if m < k:
+        return np.empty(0, np.int64), np.empty(0, np.uint64), n
+    nw = m - k + 1
+    h = np.zeros(nw, np.uint64)
+    for j in range(k):
+        h = h * _SHINGLE_B + th[j : j + nw]
+    valid = doc_of[:nw] == doc_of[k - 1 :]
+    d = doc_of[:nw][valid]
+    h = h[valid]
+    # dedupe (doc, hash) — sort + unique-run mask keeps doc_idx ascending
+    order = np.lexsort((h, d))
+    d, h = d[order], h[order]
+    first = np.ones(d.size, bool)
+    if d.size:
+        first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    return d[first], h[first], n
+
+
 def _minhash_params(seed: int = 7):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
@@ -143,13 +213,13 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
     import ray.data as rd
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        ids, shs = [], []
-        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for sh in _shingles(t, k):
-                ids.append(did)
-                shs.append(sh)
+        # 64-bit shingle HASHES, vectorized — the shuffle moves 8-byte
+        # ints instead of shingle strings; a hash collision can only add
+        # a candidate pair, which exact verification then drops
+        d_idx, sh, _ = _shingle_hashes_batch(batch["text"], k)
+        ids = batch["doc_id"].to_numpy()[d_idx]
         return pa.Table.from_arrays(
-            [pa.array(ids, pa.int64()), pa.array(shs, pa.string())],
+            [pa.array(ids), pa.array(sh.view(np.int64))],
             names=["doc_id", "sh"],
         )
 
@@ -291,14 +361,20 @@ def minhash_pairs_ds(
         """One row per (doc, band) carrying the band's signature chunk as
         compound int64 key columns — bucket membership is exact chunk
         equality via the multi-key groupby, no re-hashing (and no hash
-        collisions adding spurious candidates)."""
-        texts = batch["text"].to_pylist()
-        n = len(texts)
-        sigs = np.empty((n, _N_PERM), np.uint64)
-        for i, t in enumerate(texts):
-            sh_set = _shingles(t, k)
-            sh = np.fromiter((_hash64(s) for s in sh_set), np.uint64, len(sh_set))
-            sigs[i] = minhash_signature(sh)
+        collisions adding spurious candidates). Signatures are computed
+        whole-batch: vectorized shingle hashing (_shingle_hashes_batch)
+        + one (P × shingles) affine pass + per-doc segment minima."""
+        d_idx, sh, n = _shingle_hashes_batch(batch["text"], k)
+        sigs = np.full((n, _N_PERM), np.uint64(_MERSENNE), np.uint64)
+        if sh.size:
+            x = sh % np.uint64(_MERSENNE)
+            vals = (_MH_A[:, None] * x[None, :] + _MH_B[:, None]) % np.uint64(
+                _MERSENNE
+            )  # (P, m)
+            counts = np.bincount(d_idx, minlength=n)
+            nonempty = np.flatnonzero(counts > 0)
+            starts = np.concatenate(([0], np.cumsum(counts)))[nonempty]
+            sigs[nonempty] = np.minimum.reduceat(vals, starts, axis=1).T
         chunks = sigs.reshape(n, _BANDS, _ROWS_PER_BAND)
         arrays = {
             "doc_id": pa.array(np.repeat(batch["doc_id"].to_numpy(), _BANDS)),
@@ -408,6 +484,44 @@ def simhash64(text: str) -> int:
     return int(sig)
 
 
+def simhash64_batch(text_col) -> np.ndarray:
+    """Whole-batch simhash — bit-identical to ``simhash64`` per row
+    (same token hashes, same weighted-majority rule): per-unique-token
+    bit matrix × per-(doc, token) counts, accumulated per doc."""
+    from ..stages.tokenize import token_codes_batch
+
+    uniq, codes, lens, n = token_codes_batch(text_col)
+    out = np.zeros(n, np.uint64)
+    if not len(uniq):
+        return out
+    th = np.fromiter(
+        (_token_hash_cached(t) if t else 0 for t in uniq), np.uint64, len(uniq)
+    )
+    real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = real[codes]
+    kd, kc = doc_of[keep], codes[keep]
+    if kd.size == 0:
+        return out
+    U = len(uniq)
+    ukey, cnt = np.unique(kd * U + kc, return_counts=True)
+    ud = ukey // U
+    uc = ukey % U
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )  # (U, 64)
+    contrib = (bits[uc] * 2 - 1) * cnt[:, None]  # (pairs, 64)
+    acc = np.zeros((n, 64), np.int64)
+    np.add.at(acc, ud, contrib)
+    pos = acc > 0  # (n, 64)
+    sig = (pos.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    # docs with no tokens keep signature 0 (simhash64's empty-doc rule);
+    # all-negative accumulators already produce 0 identically
+    return sig
+
+
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     """Near-dup pairs at hamming distance <= 3 over 64-bit simhash.
     Blocking: 4×16-bit sub-bands (pigeonhole-complete for hd<=3),
@@ -418,21 +532,20 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        dids, bands, buckets, sigs = [], [], [], []
-        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            s = simhash64(t)
-            s_i64 = s - (1 << 64) if s >= (1 << 63) else s  # bit-preserving int64
-            for bi in range(4):
-                dids.append(did)
-                bands.append(bi)
-                buckets.append((s >> (16 * bi)) & 0xFFFF)
-                sigs.append(s_i64)
+        sig = simhash64_batch(batch["text"])  # (n,) u64, == simhash64 per row
+        n = sig.size
+        ids = batch["doc_id"].to_numpy()
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        srep = np.repeat(sig, 4)
+        shift = np.tile(np.arange(4, dtype=np.uint64) * np.uint64(16), n)
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(dids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "bucket": pa.array(buckets, pa.int64()),
-                "sig": pa.array(sigs, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, 4)),
+                "band": pa.array(band, pa.int32()),
+                "bucket": pa.array(
+                    ((srep >> shift) & np.uint64(0xFFFF)).astype(np.int64)
+                ),
+                "sig": pa.array(srep.view(np.int64)),  # bit-preserving int64
             }
         )
 
@@ -479,13 +592,17 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3, max_iters: i
 
     Distributed iterative label propagation (min-label flooding), all
     Ray Data: edges = :func:`ngram_jaccard_pairs` (a, b) made symmetric;
-    labels start as (node, node); each round hash-joins labels to edges,
-    sends each node's label to its neighbors, and takes
-    ``groupby(node).min(label)``. Labels fall monotonically, so the
-    round count is bounded by the cluster diameter (≤ log₂ n rounds for
-    min-flooding on typical dup clusters; ``max_iters`` caps
-    pathological chains) and convergence is detected by the (cheap)
-    global label sum. Per round the shuffle moves (node, label) int
+    labels start as (node, node); each round pairs labels with edges via
+    a tag-union REDUCE-SIDE join bucketed on ``src % 64`` (the same
+    pattern as pipelines/graph.py — Ray 2.49's hash ``Dataset.join``
+    mis-resolves key columns when executed repeatedly in a loop, and the
+    bounded bucket domain keeps the reduce at ~64 vectorized group calls
+    instead of one Python call per node), sends each node's label to its
+    neighbors, and takes ``groupby(node).min(label)``. Labels fall
+    monotonically; min-flooding needs up to DIAMETER rounds, so a
+    duplicate chain longer than ``max_iters`` hops is detected by the
+    label-sum fixpoint check and raises rather than returning silently
+    unconverged labels. Per round the shuffle moves (node, label) int
     pairs only — never text.
     """
     import ray.data as rd
@@ -497,13 +614,19 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3, max_iters: i
         .materialize()
     )
 
+    _NB = 64  # reduce-bucket domain for the per-round label join
+
     def sym(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()
         b = batch["b"].to_numpy()
+        src = np.concatenate((a, b))
         return pa.Table.from_pydict(
             {
-                "src": np.concatenate((a, b)),
+                "grp": (src % _NB).astype(np.int32),
+                "src": src,
                 "dst": np.concatenate((b, a)),
+                "label": np.zeros(src.size, np.int64),
+                "is_label": np.zeros(src.size, np.int8),
             }
         )
 
@@ -524,16 +647,47 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3, max_iters: i
             ["doc_id", "cluster"]
         )
 
-    nparts = 8
-    prev_sum = None
-    for _ in range(max_iters):
-        msgs = (
-            edges_sym.join(
-                labels, "inner", nparts, on=("src",), right_on=("node",)
-            )
-            .select_columns(["dst", "label"])
-            .rename_columns(["node", "label"])
+    def label_rows(batch: pa.Table) -> pa.Table:
+        nd = batch["node"].to_numpy()
+        return pa.Table.from_pydict(
+            {
+                "grp": (nd % _NB).astype(np.int32),
+                "src": nd,
+                "dst": np.full(nd.size, -1, np.int64),
+                "label": batch["label"].to_numpy(),
+                "is_label": np.ones(nd.size, np.int8),
+            }
         )
+
+    def send_labels(group: pa.Table) -> pa.Table:
+        """One bucket: vectorized lookup of each edge's src label."""
+        is_label = group["is_label"].to_numpy()
+        src = group["src"].to_numpy()
+        lidx = np.flatnonzero(is_label == 1)
+        eidx = np.flatnonzero(is_label == 0)
+        if eidx.size == 0:
+            return pa.Table.from_pydict({"node": [], "label": []}).cast(
+                pa.schema([("node", pa.int64()), ("label", pa.int64())])
+            )
+        lnodes = src[lidx]
+        lvals = group["label"].to_numpy()[lidx]
+        order = np.argsort(lnodes)
+        lnodes, lvals = lnodes[order], lvals[order]
+        pos = np.searchsorted(lnodes, src[eidx])
+        return pa.Table.from_pydict(
+            {
+                "node": group["dst"].to_numpy()[eidx],
+                "label": lvals[pos],
+            }
+        )
+
+    prev_sum = None
+    converged = False
+    for _ in range(max_iters):
+        tagged = edges_sym.union(
+            labels.map_batches(label_rows, batch_format="pyarrow")
+        )
+        msgs = tagged.groupby("grp").map_groups(send_labels, batch_format="pyarrow")
         labels = (
             labels.union(msgs)
             .groupby("node")
@@ -542,8 +696,15 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3, max_iters: i
         )
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if prev_sum is not None and cur == prev_sum:
+            converged = True
             break  # fixpoint: no label changed this round
         prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not reach the label fixpoint within "
+            f"{max_iters} rounds (a duplicate chain longer than max_iters "
+            f"hops); raise max_iters"
+        )
 
     return labels.select_columns(["node", "label"]).rename_columns(
         ["doc_id", "cluster"]
@@ -647,9 +808,9 @@ _HP_BANDS = 24
 _HP_BITS = 4  # bits per band; P(band match) = (1 - θ/π)^bits
 
 
-def _hyperplanes(dim: int, seed: int = 11) -> np.ndarray:
+def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((dim, _HP_BANDS * _HP_BITS))
+    return rng.standard_normal((dim, n_planes))
 
 
 def embedding_dup_pairs_lsh(
@@ -671,7 +832,7 @@ def embedding_dup_pairs_lsh(
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     dim = len(ds.take(1)[0]["embedding"])
-    H = _hyperplanes(dim)
+    H = _hyperplanes(dim, bands * bits)  # sized to the caller's banding
     h_ref = ray.put(H)
     weights = (1 << np.arange(bits, dtype=np.int64))
 

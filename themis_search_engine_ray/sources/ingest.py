@@ -58,9 +58,19 @@ def ingest_transcripts(
 
     ``fmt`` is inferred from the file extension when omitted
     (.jsonl/.json → JSON lines, .csv → CSV, .parquet → Parquet
-    passthrough-normalize). Returns {rows, files, out_dir}.
+    passthrough-normalize). ``out_dir`` must be empty or absent — a
+    pre-populated directory would inflate the reported counts and leak
+    stale files into subsequent index builds. Returns
+    {rows, files, dropped_rows, out_dir}; ``dropped_rows`` counts
+    malformed rows (null conv_id/turn_idx) removed by normalization.
     """
     import ray.data as rd
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(
+            f"out_dir {out_dir!r} is not empty; refusing to mix normalized "
+            "output with existing files"
+        )
 
     if fmt is None:
         ext = os.path.splitext(
@@ -81,6 +91,7 @@ def ingest_transcripts(
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
+    input_rows = ds.count()
     ds = ds.map_batches(_normalize, batch_format="pyarrow", zero_copy_batch=True)
     os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir, min_rows_per_file=rows_per_file)
@@ -88,4 +99,9 @@ def ingest_transcripts(
 
     files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
     rows = sum(pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows for f in files)
-    return {"rows": rows, "files": len(files), "out_dir": out_dir}
+    return {
+        "rows": rows,
+        "files": len(files),
+        "dropped_rows": int(input_rows) - rows,
+        "out_dir": out_dir,
+    }
