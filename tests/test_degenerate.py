@@ -94,3 +94,34 @@ def test_ngram_jaccard_hot_shingle_bounded(ray_session, tmp_path):
     assert (got["jaccard"] == 1.0).all()
     # bounded: emission is O(n) per shingle, not O(n^2)
     assert len(got) < 1000 * 8
+
+
+def test_verify_join_matches_scan(ray_session):
+    """The fully distributed join verify (the auto-switch path past
+    _VERIFY_SCAN_MAX_PAIRS candidates) must produce the same verified
+    pairs as the driver-bounded scan verify, for both the minhash and
+    the n-gram pipelines."""
+    from themis_search_engine_ray.pipelines.dedup import (
+        minhash_pairs_ds,
+        ngram_jaccard_pairs,
+    )
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+
+    def pairs(df):
+        return {
+            (int(a), int(b), float(j))
+            for a, b, j in zip(df["a"], df["b"], df["jaccard"])
+        }
+
+    ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    scan = minhash_pairs_ds(ds, verify="scan").to_pandas()
+    join = minhash_pairs_ds(ds, verify="join").to_pandas()
+    assert pairs(scan) == pairs(join)
+    assert len(scan) > 0
+
+    g_scan = ngram_jaccard_pairs(sf, verify="scan").to_pandas()
+    g_join = ngram_jaccard_pairs(sf, verify="join").to_pandas()
+    g_auto = ngram_jaccard_pairs(sf, verify="auto").to_pandas()
+    assert pairs(g_scan) == pairs(g_join) == pairs(g_auto)

@@ -200,15 +200,19 @@ def exact_dedup(sf_dir: str):
 # ------------------------------------------------------- n-gram Jaccard
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
+def ngram_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.5, k: int = 3, verify: str = "auto"
+):
     """Word-k-gram Jaccard >= threshold pairs via a shingle inverted index.
 
     (shingle, doc) rows → ``groupby(sh)`` candidate emission (star-capped
     at ``_MAX_CLIQUE`` docs per shingle, same contract as the LSH bucket
-    cap) → candidate dedupe → exact-Jaccard scan verification. Jaccard
-    values are computed from the true shingle sets, so every emitted row
-    is exact; a shingle shared by 100k documents costs O(n) candidate
-    rows instead of an O(n²) clique in one group task.
+    cap) → candidate dedupe → exact-Jaccard verification
+    (:func:`_verify_jaccard_pairs`; ``verify="auto"`` picks the fully
+    distributed join path past ``_VERIFY_SCAN_MAX_PAIRS`` candidates).
+    Jaccard values are computed from the true shingle sets, so every
+    emitted row is exact; a shingle shared by 100k documents costs O(n)
+    candidate rows instead of an O(n²) clique in one group task.
     """
     import ray.data as rd
 
@@ -240,7 +244,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
         .groupby(["a", "b"])
         .count()  # dedupe candidates found via multiple shared shingles
     )
-    return _scan_verify_jaccard(ds, candidates, threshold, k)
+    return _verify_jaccard_pairs(ds, candidates, threshold, k, verify)
 
 
 def _jaccard_rows(a, b, sets_a, sets_b, threshold: float):
@@ -261,6 +265,195 @@ def _jaccard_rows(a, b, sets_a, sets_b, threshold: float):
             "jaccard": pa.array(jacs, pa.float64()),
         }
     )
+
+
+# Above this many candidate pairs the driver-bounded scan verify (which
+# holds the candidate doc-id set and their shingle sets on the driver)
+# hands off to the fully distributed join verify. ~2M pairs ≈ tens of
+# MB of ids + sets — comfortably inside one driver; past it, nothing
+# should ever centralize. Override via the verify= parameter.
+_VERIFY_SCAN_MAX_PAIRS = 2_000_000
+
+
+def _verify_jaccard_pairs(ds, candidates, threshold: float, k: int, verify: str):
+    """Dispatch exact-Jaccard verification of candidate (a, b) pairs.
+
+    ``"auto"`` (the documented scale default): count the candidates and
+    use the driver-bounded ``"scan"`` below ``_VERIFY_SCAN_MAX_PAIRS``,
+    the fully distributed ``"join"`` above it. All modes produce
+    identical pairs (tests/test_degenerate.py asserts scan == join on
+    the sf corpus)."""
+    if verify == "auto":
+        candidates = candidates.select_columns(["a", "b"]).materialize()
+        verify = (
+            "join" if candidates.count() > _VERIFY_SCAN_MAX_PAIRS else "scan"
+        )
+    if verify == "scan":
+        return _scan_verify_jaccard(ds, candidates, threshold, k)
+    if verify == "join":
+        return _join_verify_jaccard(ds, candidates, threshold, k)
+    if verify == "broadcast":
+        return _broadcast_verify_jaccard(ds, candidates, threshold, k)
+    raise ValueError(f"unknown verify mode {verify!r}")
+
+
+def _broadcast_verify_jaccard(ds, candidates, threshold: float, k: int):
+    """Ship ALL docs' shingle sets via ray.put (tiny corpora only)."""
+    import ray
+
+    shingle_map = {}
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            shingle_map[did] = _shingles(t, k)
+    sh_ref = ray.put(shingle_map)
+
+    def verify_broadcast(batch: pa.Table) -> pa.Table:
+        smap = ray.get(sh_ref)
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        return _jaccard_rows(
+            a, b, [smap[x] for x in a], [smap[y] for y in b], threshold
+        )
+
+    return candidates.map_batches(verify_broadcast, batch_format="pyarrow")
+
+
+# Reduce buckets for the distributed verify's tag-union joins. Each
+# groupby group holds ~corpus/NB shingle-set rows plus the candidate
+# rows hashing there — sized so a group fits one reducer's heap.
+_JOIN_BUCKETS = 64
+
+
+def _join_verify_jaccard(ds, candidates, threshold: float, k: int):
+    """Fully distributed verify — no driver-side state at all.
+
+    Two bucketed tag-union reduce-side joins attach each pair's packed
+    shingle set for ``a`` then ``b`` (the same pattern graph.py uses:
+    Ray 2.49's ``Dataset.join`` deadlocks/mis-resolves when executed
+    repeatedly in a session, see NOTES.md). Rows are bucketed on
+    ``key % _JOIN_BUCKETS``; each group does one vectorized dict
+    lookup, so per-group Python cost is O(group), not O(1)-per-doc."""
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        # packed as \x1f-delimited strings: Arrow group/shuffle payloads
+        # stay flat (no list-of-string columns through the exchange)
+        ids = batch["doc_id"].to_pylist()
+        sets = ["\x1f".join(sorted(_shingles(t, k))) for t in batch["text"].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sh_set": pa.array(sets, pa.string()),
+            }
+        )
+
+    sets_ds = ds.map_batches(
+        shingle_sets, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused by both attach rounds
+
+    _SCHEMA = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("key", pa.int64()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("sh_a", pa.string()),
+            ("sh", pa.string()),
+            ("tag", pa.int8()),
+        ]
+    )
+
+    def _set_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        n = len(ids)
+        return pa.Table.from_pydict(
+            {
+                "bucket": ids % _JOIN_BUCKETS,
+                "key": ids,
+                "a": np.zeros(n, np.int64),
+                "b": np.zeros(n, np.int64),
+                "sh_a": [""] * n,
+                "sh": batch["sh_set"],
+                "tag": np.zeros(n, np.int8),
+            }
+        ).cast(_SCHEMA)
+
+    def _pair_rows(key_col: str, sh_a_col: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].to_numpy()
+            n = len(keys)
+            return pa.Table.from_pydict(
+                {
+                    "bucket": keys % _JOIN_BUCKETS,
+                    "key": keys,
+                    "a": batch["a"],
+                    "b": batch["b"],
+                    "sh_a": batch["sh_a"] if sh_a_col else [""] * n,
+                    "sh": [""] * n,
+                    "tag": np.ones(n, np.int8),
+                }
+            ).cast(_SCHEMA)
+
+        return fn
+
+    def _attach(group: pa.Table, out_col: str) -> pa.Table:
+        tags = group["tag"].to_numpy()
+        sidx = np.flatnonzero(tags == 0)
+        pidx = np.flatnonzero(tags == 1)
+        if pidx.size == 0:
+            return pa.Table.from_pydict(
+                {"a": [], "b": [], "sh_a": [], out_col: []},
+                pa.schema(
+                    [(c, pa.int64() if c in ("a", "b") else pa.string())
+                     for c in ("a", "b", "sh_a", out_col)]
+                ),
+            )
+        keys = group["key"].to_numpy()
+        sh = group["sh"].to_pylist()
+        lut = {int(keys[i]): sh[i] for i in sidx}
+        pk = keys[pidx]
+        return pa.Table.from_pydict(
+            {
+                "a": group["a"].take(pa.array(pidx)),
+                "b": group["b"].take(pa.array(pidx)),
+                "sh_a": group["sh_a"].take(pa.array(pidx)),
+                out_col: [lut.get(int(x), "") for x in pk],
+            }
+        )
+
+    cand = candidates.select_columns(["a", "b"])
+    round1 = (
+        sets_ds.map_batches(_set_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(cand.map_batches(_pair_rows("a", False), batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _attach(g, "sh_a2"), batch_format="pyarrow"
+        )
+        # sh_a from round 1 lands in sh_a2; promote it
+        .map_batches(
+            lambda t: t.drop_columns(["sh_a"]).rename_columns(["a", "b", "sh_a"]),
+            batch_format="pyarrow",
+        )
+    )
+    round2 = (
+        sets_ds.map_batches(_set_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(round1.map_batches(_pair_rows("b", True), batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(lambda g: _attach(g, "sh_b"), batch_format="pyarrow")
+    )
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        def unpack(s):
+            return set(s.split("\x1f")) if s else set()
+
+        return _jaccard_rows(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            [unpack(s) for s in batch["sh_a"].to_pylist()],
+            [unpack(s) for s in batch["sh_b"].to_pylist()],
+            threshold,
+        )
+
+    return round2.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def _scan_verify_jaccard(ds, candidates, threshold: float, k: int):
@@ -331,29 +524,24 @@ def minhash_pairs_ds(
     text_col: str = "text",
     threshold: float = 0.5,
     k: int = 3,
-    verify: str = "scan",
+    verify: str = "auto",
 ):
     """MinHash(64) + LSH(16 bands × 4 rows) candidates, exact-Jaccard
     verified.
 
-    ``verify="scan"`` (default, the scale path): collect the candidate
-    doc-id set (small — proportional to candidate *pairs*, not corpus),
-    ``ray.put`` it, rescan the corpus keeping only candidate docs'
-    shingle sets, broadcast those to the pair-verification map. One
-    extra column-pruned corpus scan, zero join shuffles; the broadcast
-    is the SMALL side both times.
-    ``verify="join"`` attaches each pair's shingle sets via two
-    hash-partitioned ``Dataset.join``s — no driver-side state at all;
-    use when even the candidate set exceeds driver memory.
-    ``verify="broadcast"`` ships ALL docs' shingles via ``ray.put``
-    (tiny corpora only).
+    ``verify="auto"`` (default): driver-bounded ``"scan"`` verification
+    below ``_VERIFY_SCAN_MAX_PAIRS`` candidate pairs, fully distributed
+    ``"join"`` above — see :func:`_verify_jaccard_pairs`. ``"scan"``
+    collects the candidate doc-id set (proportional to candidate
+    *pairs*, not corpus), rescans the corpus for just those docs'
+    shingle sets and broadcasts them; ``"join"`` attaches shingle sets
+    via two hash-partitioned ``Dataset.join``s with no driver-side
+    state; ``"broadcast"`` ships ALL docs' shingles (tiny corpora only).
 
     The input ``ds`` must be deterministic across executions (this
     function executes it more than once); materialize nondeterministic
     inputs (e.g. an unordered ``limit()``) first.
     """
-    import ray
-
     if id_col != "doc_id" or text_col != "text":
         ds = ds.select_columns([id_col, text_col]).rename_columns(["doc_id", "text"])
 
@@ -405,62 +593,7 @@ def minhash_pairs_ds(
         .groupby(["a", "b"])
         .count()  # dedupe candidate pairs across bands
     )
-
-    if verify == "broadcast":
-        shingle_map = {}
-        for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-            for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-                shingle_map[did] = _shingles(t, k)
-        sh_ref = ray.put(shingle_map)
-
-        def verify_broadcast(batch: pa.Table) -> pa.Table:
-            smap = ray.get(sh_ref)
-            a = batch["a"].to_pylist()
-            b = batch["b"].to_pylist()
-            return _jaccard_rows(
-                a, b, [smap[x] for x in a], [smap[y] for y in b], threshold
-            )
-
-        return candidates.map_batches(verify_broadcast, batch_format="pyarrow")
-
-    if verify == "scan":
-        return _scan_verify_jaccard(ds, candidates, threshold, k)
-
-    # distributed verify: hash-partitioned joins attach both shingle sets
-    def shingle_sets(batch: pa.Table) -> pa.Table:
-        # packed as \x1f-delimited strings: Arrow's hash join does not
-        # support list payload columns
-        ids = batch["doc_id"].to_pylist()
-        sets = ["\x1f".join(sorted(_shingles(t, k))) for t in batch["text"].to_pylist()]
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "sh_set": pa.array(sets, pa.string()),
-            }
-        )
-
-    sets_ds = ds.map_batches(shingle_sets, batch_format="pyarrow", zero_copy_batch=True)
-    nparts = 16
-    joined = candidates.join(
-        sets_ds, "inner", nparts, on=("a",), right_on=("doc_id",)
-    ).rename_columns({"sh_set": "sh_a"})
-    joined = joined.join(
-        sets_ds, "inner", nparts, on=("b",), right_on=("doc_id",)
-    ).rename_columns({"sh_set": "sh_b"})
-
-    def verify_joined(batch: pa.Table) -> pa.Table:
-        def unpack(s):
-            return set(s.split("\x1f")) if s else set()
-
-        return _jaccard_rows(
-            batch["a"].to_pylist(),
-            batch["b"].to_pylist(),
-            [unpack(s) for s in batch["sh_a"].to_pylist()],
-            [unpack(s) for s in batch["sh_b"].to_pylist()],
-            threshold,
-        )
-
-    return joined.map_batches(verify_joined, batch_format="pyarrow")
+    return _verify_jaccard_pairs(ds, candidates, threshold, k, verify)
 
 
 # ------------------------------------------------------------- SimHash
