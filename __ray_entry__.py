@@ -433,8 +433,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, count(*) AS count FROM toks GROUP BY term "
             "ORDER BY count DESC, term ASC LIMIT 50"
         ),
-        # topk_terms_sketch: approximate (Misra-Gries) → rows-only; the
-        # N/(m+1) error bound is asserted in tests/test_sketches.py.
         "stratified_sample": (
             "SELECT doc_id, source, lang FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '1999'"
@@ -591,9 +589,100 @@ def oracle_sql() -> dict[str, str]:
             "(1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0)) * 0.3)), 6) AS quality_score "
             "FROM base"
         ),
+        # topk_terms_sketch (refine=True, the default) prunes candidates
+        # with the Misra-Gries sketch but OUTPUTS exact counts — same
+        # oracle as the exact path (the refine equivalence + MG bound are
+        # additionally asserted in tests/test_sketches.py).
+        "topk_terms_sketch": (
+            "WITH toks AS (SELECT unnest(list_filter(string_split_regex("
+            "lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '')) AS term "
+            "FROM documents) "
+            "SELECT term, count(*) AS count FROM toks GROUP BY term "
+            "ORDER BY count DESC, term ASC LIMIT 50"
+        ),
+        "lang_id": _lang_id_sql(),
+        "fingerprints": _fingerprints_sql(),
         # term_df / bm25_topk / vsm_topk (Porter), eval_metrics (IR
-        # metrics over engine rankings), minhash/simhash (LSH), lang_id,
-        # fingerprints, ivf_knn, embedding_dup_pairs_lsh, media_features:
+        # metrics over engine rankings), minhash/simhash (LSH),
+        # ivf_knn, embedding_dup_pairs_lsh, media_features:
         # non-SQL-expressible → rows-only checks; exactness/recall is
         # covered by pytest oracles.
     }
+
+
+def _lang_id_sql() -> str:
+    """DuckDB replica of LangIdBatcher: weighted stopword-profile hit
+    rate per language, strict-argmax with sorted-language tie-break,
+    'und' below the 0.02 confidence floor."""
+    from themis_search_engine_ray.pipelines.text_analysis import _LANG_PROFILES
+
+    prof_values = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(_LANG_PROFILES.items())
+        for w in words.split()
+    )
+    charclass = "a-zA-ZäöüßéèêàçñáíóúìòùÄÖÜ"
+    return (
+        f"WITH profiles(lang, word) AS (VALUES {prof_values}), "
+        "toks AS (SELECT doc_id, lower(unnest(list_filter("
+        f"string_split_regex(text, '[^{charclass}]+'), x -> x != ''))) AS tok "
+        "FROM documents), "
+        "ntok AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), "
+        "rates AS (SELECT t.doc_id, p.lang, count(*) * 1.0 / any_value(n.n) AS rate "
+        "FROM toks t JOIN profiles p ON t.tok = p.word "
+        "JOIN ntok n ON n.doc_id = t.doc_id GROUP BY t.doc_id, p.lang), "
+        "best AS (SELECT doc_id, lang, rate, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY rate DESC, lang ASC) AS rn FROM rates) "
+        "SELECT d.doc_id, "
+        "CASE WHEN b.rate > 0.02 THEN b.lang ELSE 'und' END AS lang_pred, "
+        "COALESCE(round(b.rate, 6), 0.0) AS lang_conf "
+        "FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b "
+        "ON b.doc_id = d.doc_id"
+    )
+
+
+def _fingerprints_sql(k: int = 4, w: int = 5) -> str:
+    """DuckDB replica of FingerprintBatcher's winnowing scalars: FNV-1a
+    token hashes (HUGEINT arithmetic mod 2^64; the byte XOR decomposes
+    into high-bits + a small-int xor), degree-(k-1) polynomial k-gram
+    rolling hashes, sliding-window-(w) minima, per-doc distinct-min
+    count and signed-64 XOR signature — bit-identical to the engine."""
+    m = "18446744073709551616"  # 2^64
+    b = "1099511628211"  # FNV prime / polynomial base
+    fnv0 = "14695981039346656037"
+    split = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        f"unnest({split}) AS tok, generate_subscripts({split}, 1) AS p "
+        "FROM documents), "
+        "dtok AS (SELECT DISTINCT tok FROM toks), "
+        "fnv AS (WITH RECURSIVE f(tok, i, h) AS ("
+        f"SELECT tok, 0, CAST({fnv0} AS HUGEINT) FROM dtok "
+        "UNION ALL SELECT tok, i + 1, "
+        f"((h // 256) * 256 + xor(CAST(h % 256 AS BIGINT), ord(substr(tok, i + 1, 1)))) * {b} % {m} "
+        "FROM f WHERE i < length(tok)) "
+        "SELECT tok, h FROM f WHERE i = length(tok)), "
+        "th AS (SELECT t.doc_id, t.p, f.h FROM toks t JOIN fnv f USING (tok)), "
+        "kg AS (SELECT a.doc_id, a.p AS q, "
+        f"((((a.h * {b} % {m}) + b.h) * {b} % {m} + c.h) * {b} % {m} + d.h) % {m} AS h "
+        "FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.p = a.p + 1 "
+        "JOIN th c ON c.doc_id = a.doc_id AND c.p = a.p + 2 "
+        "JOIN th d ON d.doc_id = a.doc_id AND d.p = a.p + 3), "
+        "kn AS (SELECT doc_id, count(*) AS n FROM kg GROUP BY doc_id), "
+        "wins_big AS (SELECT kg.doc_id, kg.q, kn.n, "
+        "min(kg.h) OVER (PARTITION BY kg.doc_id ORDER BY kg.q "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh "
+        f"FROM kg JOIN kn USING (doc_id) WHERE kn.n >= {w}), "
+        f"mins_big AS (SELECT doc_id, mh FROM wins_big WHERE q <= n - {w} + 1), "
+        "mins_small AS (SELECT kg.doc_id, min(kg.h) AS mh FROM kg JOIN kn USING (doc_id) "
+        f"WHERE kn.n < {w} GROUP BY kg.doc_id), "
+        "sel AS (SELECT DISTINCT doc_id, mh FROM "
+        "(SELECT * FROM mins_big UNION ALL SELECT * FROM mins_small)), "
+        "sel_signed AS (SELECT doc_id, CAST(CASE WHEN mh >= 9223372036854775808 "
+        f"THEN mh - {m} ELSE mh END AS BIGINT) AS v FROM sel), "
+        "aggd AS (SELECT doc_id, count(*) AS n_fingerprints, bit_xor(v) AS sig64 "
+        "FROM sel_signed GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(a.n_fingerprints, 0) AS n_fingerprints, "
+        "COALESCE(a.sig64, 0) AS sig64 "
+        "FROM documents d LEFT JOIN aggd a ON a.doc_id = d.doc_id"
+    )

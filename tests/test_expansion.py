@@ -151,3 +151,45 @@ def test_distributional_lexicon(ray_session, tmp_path):
     assert out.endswith(" zork")
     prefix = out[: -len(" zork")].split()
     assert prefix == ["zork", "blivet"]  # C+1 = 2 words, insertion order
+
+
+def test_default_query_expander_is_distributional(ray_session, tmp_path):
+    """The documented M10 default (default_query_expander) trains the
+    real corpus model and expands with distributional synonyms; the
+    WordNet adapter stays a plug (any synonyms() object), covered by
+    the loopback lexicon in test_wordnet_multiword_lemma_split."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.embeddings_train import (
+        default_query_expander,
+    )
+    from themis_search_engine_ray.stages.expansion import (
+        DistributionalLexicon,
+        WordNetExpander,
+        expand_queries,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    rows = []
+    for i in range(150):
+        rows.append({"text": f"zork blivet zork blivet filler{i % 6}"})
+        rows.append({"text": f"quux fnord quux fnord pad{i % 4}"})
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "part-0.parquet"))
+
+    exp = default_query_expander(
+        str(d), n_synonyms=1, vocab_size=64, dim=8, min_count=2
+    )
+    assert isinstance(exp.lexicon, DistributionalLexicon)
+    out = exp.expand_one("zork")
+    assert out.endswith(" zork")
+    assert out[: -len(" zork")].split() == ["zork", "blivet"]
+
+    # actor-pool path: lexicon (model included) serialized once per actor
+    res = expand_queries(
+        ["zork", "quux"], WordNetExpander, lexicon=exp.lexicon
+    ).to_pandas()
+    got = dict(zip(res["query"], res["expanded"]))
+    assert got["zork"].split()[:2] == ["zork", "blivet"]
+    assert got["quux"].split()[:2] == ["quux", "fnord"]

@@ -59,10 +59,20 @@ def test_exact_topk(zipf_docs):
     assert list(zip(out["term"], out["count"])) == want
 
 
+def test_sketch_refine_matches_exact(zipf_docs):
+    """Default (refine=True) output: exact counts for the sketch-pruned
+    candidates — equal to the true top-k whenever the MG bound holds
+    (and, as the value-exact oracle gate relies on, on these corpora)."""
+    sf, true = zipf_docs
+    out = topk_terms_sketch(sf, k=20, capacity=256)
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(out["term"], out["count"])) == want
+
+
 def test_sketch_error_bound_and_recall(zipf_docs):
     sf, true = zipf_docs
     m = 64
-    out = topk_terms_sketch(sf, k=20, capacity=m)
+    out = topk_terms_sketch(sf, k=20, capacity=m, refine=False)
     n = sum(true.values())
     n_batches_bound = n / (m + 1)  # summed per-batch bounds telescope to N/(m+1)
     est = dict(zip(out["term"], out["est_count"]))

@@ -179,3 +179,31 @@ def train_corpus_embeddings(
     if vecs.shape[1] < dim:
         vecs = np.pad(vecs, ((0, 0), (0, dim - vecs.shape[1])))
     return CorpusEmbeddingModel(vocab, vecs)
+
+
+def default_query_expander(
+    corpus_path: str,
+    n_synonyms: int = 2,
+    min_cosine: float = 0.35,
+    **train_kw,
+):
+    """The DEFAULT M10 query expander: a :class:`WordNetExpander`
+    (reference EXTJWNL.java:53-116 semantics — cap, dedup, multi-word
+    lemma split, original-query suffix) whose synonym source is a
+    :class:`DistributionalLexicon` over REAL corpus-trained PPMI-SVD
+    vectors, not a stub. A true-WordNet dictionary stays an optional
+    plug: pass any object with ``synonyms(token) -> list[str]`` to
+    ``WordNetExpander(lexicon=...)`` (this container has no WordNet DB,
+    so that adapter is exercised via a loopback lexicon in tests).
+
+    The trained model is held by the returned expander instance; with
+    ``expand_queries(queries, WordNetExpander, lexicon=expander.lexicon)``
+    it is serialized once per actor (T4 state), never per batch."""
+    from ..stages.expansion import DistributionalLexicon, WordNetExpander
+
+    model = train_corpus_embeddings(corpus_path, **train_kw)
+    return WordNetExpander(
+        lexicon=DistributionalLexicon(
+            model, n_synonyms=n_synonyms, min_cosine=min_cosine
+        )
+    )

@@ -75,29 +75,108 @@ def topk_terms_exact(sf_dir: str, k: int = 50):
     return tab.reset_index(drop=True)
 
 
-def topk_terms_sketch(sf_dir: str, k: int = 50, capacity: int = 256):
-    """Approximate top-k via summed per-batch Misra-Gries summaries.
+# Sentinel term carrying each batch's TRUE token total through the same
+# shuffle as the sketch rows ("\x00" sorts before any real token and can
+# never be produced by the tokenizer). Summed, it yields the global N
+# that the MG error bound N/(capacity+1) needs.
+_TOTAL_SENTINEL = "\x00total"
 
-    Estimates satisfy ``true - N/(capacity+1) <= est <= true``; any term
-    whose true count exceeds the k-th count by more than N/(capacity+1)
-    is guaranteed present. Output: (term, est_count)."""
+
+def topk_terms_sketch(
+    sf_dir: str, k: int = 50, capacity: int = 256, refine: bool = True
+):
+    """Top-k frequent terms via per-batch Misra-Gries candidate pruning.
+
+    ``refine=True`` (default): the summed sketch selects a bounded
+    candidate set (≤ #batches × capacity terms — the shuffle cap that
+    makes this affordable when the full distinct-term set is not), then
+    a second scan re-counts ONLY candidate terms exactly (broadcast
+    frozenset membership, tiny groupby) and returns the exact top-k
+    (term, count). A term absent from every batch summary has true
+    count ≤ N/(capacity+1) (Agarwal et al., mergeable summaries), so
+    whenever the exact k-th count exceeds that bound the result equals
+    the true top-k — the guarantee is checked against the true N
+    (carried through the sketch shuffle as a sentinel row) and a
+    ``UserWarning`` is raised if it cannot be certified.
+
+    ``refine=False``: one pass, returns the raw summed-sketch estimates
+    (term, est_count) with ``true - N/(capacity+1) <= est <= true``.
+    """
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     def sketch_rows(batch: pa.Table) -> pa.Table:
-        mg = misra_gries(_batch_counts(batch), capacity)
+        counts = _batch_counts(batch)
+        mg = misra_gries(counts, capacity)
+        terms = list(mg.keys()) + [_TOTAL_SENTINEL]
+        vals = list(mg.values()) + [int(sum(counts.values()))]
         return pa.Table.from_pydict(
             {
-                "term": pa.array(list(mg.keys()), pa.string()),
-                "est_count": pa.array(list(mg.values()), pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "est_count": pa.array(vals, pa.int64()),
             }
         )
 
+    reader = lambda: rd.read_parquet(  # noqa: E731
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
     agg = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        reader()
         .map_batches(sketch_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("term")
         .aggregate(Sum("est_count", alias_name="est_count"))
     )
-    tab = agg.sort(["est_count", "term"], descending=[True, False]).limit(k).to_pandas()
-    return tab.reset_index(drop=True)
+
+    def drop_sentinel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.not_equal(batch["term"], _TOTAL_SENTINEL))
+
+    if not refine:
+        tab = (
+            agg.map_batches(drop_sentinel, batch_format="pyarrow")
+            .sort(["est_count", "term"], descending=[True, False])
+            .limit(k)
+            .to_pandas()
+        )
+        return tab.reset_index(drop=True)
+
+    cand_tab = agg.to_pandas()  # bounded: ≤ #batches × capacity (+1) rows
+    n_total = int(cand_tab.loc[cand_tab["term"] == _TOTAL_SENTINEL, "est_count"].sum())
+    cand = frozenset(cand_tab.loc[cand_tab["term"] != _TOTAL_SENTINEL, "term"])
+    cand_ref = ray.put(cand)
+
+    def exact_rows(batch: pa.Table) -> pa.Table:
+        keep = ray.get(cand_ref)
+        counts = _batch_counts(batch)
+        items = [(t, c) for t, c in counts.items() if t in keep]
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array([t for t, _ in items], pa.string()),
+                "count": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+
+    exact = (
+        reader()
+        .map_batches(exact_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("count", alias_name="count"))
+    )
+    tab = (
+        exact.sort(["count", "term"], descending=[True, False]).limit(k).to_pandas()
+    ).reset_index(drop=True)
+
+    bound = n_total / (capacity + 1)
+    if len(tab) == k and int(tab["count"].iloc[-1]) <= bound:
+        import warnings
+
+        warnings.warn(
+            f"topk_terms_sketch: k-th count {int(tab['count'].iloc[-1])} <= "
+            f"MG bound N/(capacity+1) = {bound:.1f}; top-{k} not certified "
+            f"exact — raise capacity",
+            UserWarning,
+            stacklevel=2,
+        )
+    return tab
