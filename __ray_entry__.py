@@ -602,12 +602,51 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": _lang_id_sql(),
         "fingerprints": _fingerprints_sql(),
+        "pagerank_dup_graph": _pagerank_sql(),
         # term_df / bm25_topk / vsm_topk (Porter), eval_metrics (IR
         # metrics over engine rankings), minhash/simhash (LSH),
         # ivf_knn, embedding_dup_pairs_lsh, media_features:
         # non-SQL-expressible → rows-only checks; exactness/recall is
         # covered by pytest oracles.
     }
+
+
+def _pagerank_sql(n_iter: int = 6, damping: float = 0.85) -> str:
+    """DuckDB replica of pagerank_dup_graph: word-trigram Jaccard >= 0.5
+    pairs (same derivation as the dedup_clusters oracle), symmetrized,
+    then ``n_iter`` power iterations UNROLLED as chained grouped CTEs
+    (standard SQL forbids aggregation in a recursive term). Symmetric
+    graph => no dangling mass and every node receives contributions,
+    matching the engine's symmetric=True fast path (pipelines/graph.py)."""
+    base = (
+        "WITH raw AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x != '') AS ts FROM documents), "
+        "toksj AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS ord FROM raw), "
+        "tri AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh "
+        "FROM toksj a JOIN toksj b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1 "
+        "JOIN toksj c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2), "
+        "tset AS (SELECT DISTINCT doc_id, sh FROM tri), "
+        "sizes AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM tset GROUP BY doc_id), "
+        "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS DOUBLE) AS i "
+        "FROM tset x JOIN tset y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a "
+        "JOIN sizes sb ON sb.doc_id = b WHERE i / (sa.n + sb.n - i) >= 0.5), "
+        "sym AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs), "
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM sym GROUP BY src), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), "
+        "pr0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg)"
+    )
+    iters = "".join(
+        f", pr{t + 1} AS (SELECT s.dst AS node, "
+        f"(1.0 - {damping}) / (SELECT n FROM nn) + {damping} * sum(p.rank / d.od) AS rank "
+        f"FROM pr{t} p JOIN sym s ON s.src = p.node JOIN deg d ON d.src = p.node "
+        f"GROUP BY s.dst)"
+        for t in range(n_iter)
+    )
+    return (
+        f"{base}{iters} "
+        f"SELECT node AS doc_id, round(rank, 6) AS rank FROM pr{n_iter}"
+    )
 
 
 def _lang_id_sql() -> str:
