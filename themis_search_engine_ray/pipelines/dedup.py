@@ -164,6 +164,82 @@ def _pair_indices(n: int, max_clique: int = _MAX_CLIQUE):
     return a, b
 
 
+# Coarse reduce shards for candidate emission. The exact bucket key
+# (shingle hash / LSH band signature) has ~one group per DISTINCT key —
+# at corpus scale that is millions of per-group Python calls through
+# groupby().map_groups. Instead rows shuffle into _PAIR_SHARDS coarse
+# groups (key-hash mod) and each group finds its exact-bucket
+# boundaries vectorized; Python iterates only over buckets that
+# actually collide (>= 2 docs).
+_PAIR_SHARDS = 64
+
+
+def _emit_pairs_sharded(rows, key_cols: list[str]):
+    """rows: Dataset with ``doc_id`` + ``key_cols`` (int-typed), one row
+    per (doc, key). Returns the deduped candidate (a, b) Dataset: docs
+    sharing an exact key value, star-capped per bucket
+    (:func:`_pair_indices`), a < b."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(len(batch), np.uint64)
+        for c in key_cols:
+            # splitmix64-style mix so band ids / low-entropy columns
+            # spread across shards
+            v = batch[c].to_numpy().astype(np.uint64, copy=False)
+            acc ^= (v + np.uint64(0x9E3779B97F4A7C15) + (acc << np.uint64(6))
+                    + (acc >> np.uint64(2)))
+        return batch.append_column(
+            "shard", pa.array((acc % np.uint64(_PAIR_SHARDS)).astype(np.int64))
+        )
+
+    empty = pa.Table.from_pydict({"a": [], "b": []}).cast(
+        pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        docs = group["doc_id"].to_numpy()
+        if docs.size < 2:
+            return empty
+        keys = [group[c].to_numpy() for c in key_cols]
+        order = np.lexsort((docs, *reversed(keys)))
+        docs = docs[order]
+        keys = [k[order] for k in keys]
+        new = np.zeros(docs.size, bool)
+        new[0] = True
+        for k in keys:
+            new[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], docs.size)
+        big = (ends - starts) >= 2
+        if not big.any():
+            return empty
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts[big], ends[big]):
+            ids = docs[s:e]  # sorted asc (secondary lexsort key)
+            if ids[0] == ids[-1]:  # all one doc
+                continue
+            ids = ids[np.concatenate(([True], ids[1:] != ids[:-1]))]
+            if ids.size < 2:
+                continue
+            ai, bi = _pair_indices(ids.size)
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+        if not out_a:
+            return empty
+        return pa.Table.from_pydict(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
+
+    return (
+        rows.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(emit, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()  # dedupe candidates found via multiple keys/bands
+    )
+
+
 def minhash_signature(sh_hashes: np.ndarray) -> np.ndarray:
     """64-perm minhash of a set of 64-bit shingle hashes (vectorized)."""
     if sh_hashes.size == 0:
@@ -205,8 +281,9 @@ def ngram_jaccard_pairs(
 ):
     """Word-k-gram Jaccard >= threshold pairs via a shingle inverted index.
 
-    (shingle, doc) rows → ``groupby(sh)`` candidate emission (star-capped
-    at ``_MAX_CLIQUE`` docs per shingle, same contract as the LSH bucket
+    (shingle, doc) rows → sharded candidate emission
+    (:func:`_emit_pairs_sharded`; star-capped at ``_MAX_CLIQUE`` docs
+    per shingle, same contract as the LSH bucket
     cap) → candidate dedupe → exact-Jaccard verification
     (:func:`_verify_jaccard_pairs`; ``verify="auto"`` picks the fully
     distributed join path past ``_VERIFY_SCAN_MAX_PAIRS`` candidates).
@@ -227,22 +304,10 @@ def ngram_jaccard_pairs(
             names=["doc_id", "sh"],
         )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(np.asarray(group["doc_id"].to_pylist(), dtype=np.int64))
-        if ids.size < 2:
-            return pa.Table.from_pydict({"a": [], "b": []}).cast(
-                pa.schema([("a", pa.int64()), ("b", pa.int64())])
-            )
-        ai, bi = _pair_indices(ids.size)
-        return pa.Table.from_pydict({"a": ids[ai], "b": ids[bi]})
-
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    candidates = (
-        ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("sh")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()  # dedupe candidates found via multiple shared shingles
+    candidates = _emit_pairs_sharded(
+        ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["sh"],
     )
     return _verify_jaccard_pairs(ds, candidates, threshold, k, verify)
 
@@ -548,7 +613,7 @@ def minhash_pairs_ds(
     def band_rows(batch: pa.Table) -> pa.Table:
         """One row per (doc, band) carrying the band's signature chunk as
         compound int64 key columns — bucket membership is exact chunk
-        equality via the multi-key groupby, no re-hashing (and no hash
+        equality inside _emit_pairs_sharded, no re-hashing (and no hash
         collisions adding spurious candidates). Signatures are computed
         whole-batch: vectorized shingle hashing (_shingle_hashes_batch)
         + one (P × shingles) affine pass + per-doc segment minima."""
@@ -576,22 +641,10 @@ def minhash_pairs_ds(
             )
         return pa.Table.from_pydict(arrays)
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(np.unique(np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)))
-        if ids.size < 2:
-            return pa.Table.from_pydict({"a": [], "b": []}).cast(
-                pa.schema([("a", pa.int64()), ("b", pa.int64())])
-            )
-        ai, bi = _pair_indices(ids.size)
-        return pa.Table.from_pydict({"a": ids[ai], "b": ids[bi]})
-
     sig_keys = [f"sig{r}" for r in range(_ROWS_PER_BAND)]
-    candidates = (
-        ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", *sig_keys])
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()  # dedupe candidate pairs across bands
+    candidates = _emit_pairs_sharded(
+        ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["band", *sig_keys],
     )
     return _verify_jaccard_pairs(ds, candidates, threshold, k, verify)
 
@@ -682,32 +735,72 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
             }
         )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
-        sigs = np.asarray(group["sig"].to_pylist(), dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids, sigs = ids[order], sigs[order]
-        uniq, first = np.unique(ids, return_index=True)
-        sigs = sigs[first]
-        if uniq.size < 2:
-            return pa.Table.from_pydict({"a": [], "b": [], "hamming": []}).cast(
-                pa.schema([("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int32())])
-            )
-        ai, bi = _pair_indices(uniq.size)
-        x = (sigs[ai] ^ sigs[bi]).view(np.uint64)  # XOR is sign-agnostic
-        hd = np.zeros(x.size, dtype=np.int32)
-        while x.any():
-            hd += (x & np.uint64(1)).astype(np.int32)
-            x = x >> np.uint64(1)
-        keep = hd <= max_hamming
-        return pa.Table.from_pydict(
-            {"a": uniq[ai][keep], "b": uniq[bi][keep], "hamming": hd[keep]}
+    _P_SCHEMA = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int32())]
+    )
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        bb = batch["band"].to_numpy().astype(np.uint64)
+        bk = batch["bucket"].to_numpy().astype(np.uint64)
+        mix = (bb * np.uint64(0x9E3779B97F4A7C15)) ^ bk
+        return batch.append_column(
+            "shard", pa.array((mix % np.uint64(_PAIR_SHARDS)).astype(np.int64))
         )
+
+    def emit_shard(group: pa.Table) -> pa.Table:
+        """Vectorized exact-bucket discovery inside one coarse shard
+        (same rationale as _emit_pairs_sharded — Python touches only
+        buckets that collide), keeping each pair's hamming distance."""
+        docs = group["doc_id"].to_numpy()
+        if docs.size < 2:
+            return pa.Table.from_pydict({"a": [], "b": [], "hamming": []}).cast(
+                _P_SCHEMA
+            )
+        band = group["band"].to_numpy()
+        bucket = group["bucket"].to_numpy()
+        sigs = group["sig"].to_numpy()
+        order = np.lexsort((docs, bucket, band))
+        docs, band, bucket, sigs = (
+            docs[order], band[order], bucket[order], sigs[order]
+        )
+        new = np.zeros(docs.size, bool)
+        new[0] = True
+        new[1:] |= band[1:] != band[:-1]
+        new[1:] |= bucket[1:] != bucket[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], docs.size)
+        big = (ends - starts) >= 2
+        out = []
+        for s, e in zip(starts[big], ends[big]):
+            ids, first = np.unique(docs[s:e], return_index=True)
+            if ids.size < 2:
+                continue
+            sg = sigs[s:e][first]
+            ai, bi = _pair_indices(ids.size)
+            x = (sg[ai] ^ sg[bi]).view(np.uint64)  # XOR is sign-agnostic
+            hd = np.zeros(x.size, dtype=np.int32)
+            while x.any():
+                hd += (x & np.uint64(1)).astype(np.int32)
+                x = x >> np.uint64(1)
+            keep = hd <= max_hamming
+            out.append((ids[ai][keep], ids[bi][keep], hd[keep]))
+        if not out:
+            return pa.Table.from_pydict({"a": [], "b": [], "hamming": []}).cast(
+                _P_SCHEMA
+            )
+        return pa.Table.from_pydict(
+            {
+                "a": np.concatenate([o[0] for o in out]),
+                "b": np.concatenate([o[1] for o in out]),
+                "hamming": np.concatenate([o[2] for o in out]),
+            }
+        ).cast(_P_SCHEMA)
 
     pairs = (
         ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "bucket"])
-        .map_groups(emit_pairs, batch_format="pyarrow")
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(emit_shard, batch_format="pyarrow")
     )
     # dedupe pairs found in multiple bands
     from ray.data.aggregate import Min
@@ -983,21 +1076,13 @@ def embedding_dup_pairs_lsh(
             }
         )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(np.unique(np.asarray(group["vec_id"].to_pylist(), np.int64)))
-        if ids.size < 2:
-            return pa.Table.from_pydict({"a": [], "b": []}).cast(
-                pa.schema([("a", pa.int64()), ("b", pa.int64())])
-            )
-        ai, bi = _pair_indices(ids.size)
-        return pa.Table.from_pydict({"a": ids[ai], "b": ids[bi]})
-
-    candidates = (
+    candidates = _emit_pairs_sharded(
         ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "bucket"])
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id", "band", "bucket"]),
+            batch_format="pyarrow",
+        ),
+        ["band", "bucket"],
     )
 
     # verify: broadcast only the CANDIDATE vectors (small side)
