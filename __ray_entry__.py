@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # ---- temporal as-of join over events ----
         "asof_join_events": joins.asof_join_events,
+        "range_join_events": joins.range_join_events,
         # ---- heavy-hitters (exact + Misra-Gries sketch) ----
         "topk_terms_exact": sketches.topk_terms_exact,
         "topk_terms_sketch": sketches.topk_terms_sketch,
@@ -425,6 +426,17 @@ def oracle_sql() -> dict[str, str]:
             "b.cval AS click_value "
             "FROM errors er LEFT JOIN (SELECT * FROM best WHERE rn = 1) b "
             "ON b.event_id = er.event_id"
+        ),
+        "range_join_events": (
+            "WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type, value FROM events), "
+            "errors AS (SELECT * FROM e WHERE event_type = 'error'), "
+            "clicks AS (SELECT * FROM e WHERE event_type = 'click') "
+            "SELECT er.event_id, er.user_id, CAST(er.tus // 1000000 AS BIGINT) AS ts_s, "
+            "count(cl.event_id) AS n_clicks, "
+            "round(COALESCE(sum(cl.value), 0.0), 6) AS sum_click_value "
+            "FROM errors er LEFT JOIN clicks cl ON cl.user_id = er.user_id "
+            "AND cl.tus > er.tus - 300000000 AND cl.tus <= er.tus "
+            "GROUP BY 1, 2, 3"
         ),
         "topk_terms_exact": (
             "WITH toks AS (SELECT unnest(list_filter(string_split_regex("

@@ -58,3 +58,27 @@ def test_asof_semantics(events_dir):
     # latest preceding click wins
     assert out.loc[5, "click_event_id"] == 4 and out.loc[5, "click_value"] == 3.0
     assert out.loc[5, "click_ts_s"] == 7
+
+
+def test_range_join_semantics(events_dir):
+    """Trailing-window interval join: boundary inclusion (ts equal to
+    the error's), exclusion past the window start, zero-click errors."""
+    from themis_search_engine_ray.pipelines.joins import range_join_events
+
+    # window of 5 seconds: (err_ts - 5s, err_ts]
+    out = (
+        range_join_events(events_dir, window_s=5)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # user 1 error@10: click@10 inside (5, 10]
+    assert out.loc[1, "n_clicks"] == 1 and out.loc[1, "sum_click_value"] == 1.5
+    # user 1 error@5: click@10 is in the future -> none
+    assert out.loc[2, "n_clicks"] == 0 and out.loc[2, "sum_click_value"] == 0.0
+    # user 2 error@8: window (3, 8] -> click@7 only (click@3 excluded,
+    # open lower bound)
+    assert out.loc[5, "n_clicks"] == 1 and out.loc[5, "sum_click_value"] == 3.0
+    # user 3: no clicks at all
+    assert out.loc[6, "n_clicks"] == 0 and out.loc[6, "sum_click_value"] == 0.0
+    assert len(out) == 4  # one row per error, nothing else

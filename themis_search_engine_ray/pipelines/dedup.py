@@ -167,14 +167,17 @@ def _pair_indices(n: int, max_clique: int = _MAX_CLIQUE):
 # Coarse reduce shards for candidate emission. The exact bucket key
 # (shingle hash / LSH band signature) has ~one group per DISTINCT key —
 # at corpus scale that is millions of per-group Python calls through
-# groupby().map_groups. Instead rows shuffle into _PAIR_SHARDS coarse
+# groupby().map_groups. Instead rows shuffle into n_shards coarse
 # groups (key-hash mod) and each group finds its exact-bucket
 # boundaries vectorized; Python iterates only over buckets that
-# actually collide (>= 2 docs).
+# actually collide (>= 2 docs). The default (64) suits single-node runs;
+# on a cluster size n_shards ~ total_rows / rows-per-reducer-heap (it
+# caps both reduce parallelism and per-group memory — a bucket never
+# splits across shards, so correctness is shard-count independent).
 _PAIR_SHARDS = 64
 
 
-def _emit_pairs_sharded(rows, key_cols: list[str]):
+def _emit_pairs_sharded(rows, key_cols: list[str], n_shards: int = _PAIR_SHARDS):
     """rows: Dataset with ``doc_id`` + ``key_cols`` (int-typed), one row
     per (doc, key). Returns the deduped candidate (a, b) Dataset: docs
     sharing an exact key value, star-capped per bucket
@@ -189,7 +192,7 @@ def _emit_pairs_sharded(rows, key_cols: list[str]):
             acc ^= (v + np.uint64(0x9E3779B97F4A7C15) + (acc << np.uint64(6))
                     + (acc >> np.uint64(2)))
         return batch.append_column(
-            "shard", pa.array((acc % np.uint64(_PAIR_SHARDS)).astype(np.int64))
+            "shard", pa.array((acc % np.uint64(n_shards)).astype(np.int64))
         )
 
     empty = pa.Table.from_pydict({"a": [], "b": []}).cast(

@@ -116,3 +116,97 @@ def asof_join_events(sf_dir: str):
         .groupby("user_id")
         .map_groups(join_group, batch_format="pyarrow")
     )
+
+
+def range_join_events(sf_dir: str, window_s: int = 300):
+    """Range (interval) join: for every ``error`` event, aggregate the
+    same user's ``click`` events with ts in the trailing window
+    ``(error_ts - window_s, error_ts]``.
+
+    The scale-right composition for an interval join with an aggregate
+    on the build side: tag-union → ONE ``groupby(user_id)`` shuffle →
+    per group, sort clicks by ts once, prefix-sum their values, then
+    answer every error with two vectorized ``searchsorted`` probes
+    (count = hi - lo, sum = P[hi] - P[lo]) — O((L+R)·log R) per key,
+    never materializing the joined pairs. Same partitioning assumption
+    as :func:`asof_join_events` (one user's rows fit a worker group;
+    pre-split hot keys by coarse time bucket with a ``window_s``
+    overlap and stitch).
+
+    Output: (event_id, user_id, ts_s, n_clicks, sum_click_value) with
+    sum rounded to 6 decimals for oracle comparability.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_up
+
+    US = 1_000_000
+    w_us = window_s * US
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        keep = pa.array(
+            [i for i, e in enumerate(et) if e in ("error", "click")], pa.int64()
+        )
+        sub = batch.take(keep)
+        return pa.Table.from_arrays(
+            [
+                sub["user_id"],
+                sub["event_id"],
+                sub["ts"].cast(pa.int64()),
+                pa.array(
+                    [1 if e == "error" else 0 for e in sub["event_type"].to_pylist()],
+                    pa.int8(),
+                ),
+                sub["value"],
+            ],
+            names=["user_id", "event_id", "tus", "is_left", "value"],
+        )
+
+    _OUT = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_s", pa.int64()),
+            ("n_clicks", pa.int64()),
+            ("sum_click_value", pa.float64()),
+        ]
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        is_left = group["is_left"].to_numpy().astype(bool)
+        tus = group["tus"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        val = group["value"].to_numpy()
+        uid = int(group["user_id"][0].as_py())
+        l_t, l_id = tus[is_left], eid[is_left]
+        if l_t.size == 0:
+            return pa.Table.from_pydict(
+                {n: [] for n in _OUT.names}
+            ).cast(_OUT)
+        r_t = np.sort(tus[~is_left])
+        r_v = np.nan_to_num(val[~is_left][np.argsort(tus[~is_left], kind="stable")])
+        prefix = np.concatenate(([0.0], np.cumsum(r_v)))
+        lo = np.searchsorted(r_t, l_t - w_us, side="right")
+        hi = np.searchsorted(r_t, l_t, side="right")
+        sums = prefix[hi] - prefix[lo]
+        return pa.Table.from_pydict(
+            {
+                "event_id": l_id,
+                "user_id": np.full(l_id.size, uid, np.int64),
+                "ts_s": l_t // US,
+                "n_clicks": (hi - lo).astype(np.int64),
+                "sum_click_value": round_half_up(sums, 6),
+            }
+        ).cast(_OUT)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(join_group, batch_format="pyarrow")
+    )
