@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- heavy-hitters (exact + Misra-Gries sketch) ----
         "topk_terms_exact": sketches.topk_terms_exact,
         "topk_terms_sketch": sketches.topk_terms_sketch,
+        # HLL distinct-count: approximate by construction -> rows-only;
+        # the 3-sigma error bound vs exact is asserted in
+        # tests/test_sketches.py
+        "distinct_terms_hll": sketches.distinct_terms_hll,
         # ---- deterministic sampling + distribution summaries ----
         "stratified_sample": sampling.stratified_sample,
         "group_quantiles": sampling.group_quantiles,

@@ -84,3 +84,35 @@ def test_sketch_error_bound_and_recall(zipf_docs):
     kth = int(exact["count"].iloc[-1])
     guaranteed = {t for t, c in true.items() if c > kth + n_batches_bound}
     assert guaranteed <= set(est)
+
+
+def test_hll_bound_and_mergeability(zipf_docs):
+    """HLL estimate within 3 sigma (sigma = 1.04/sqrt(m)) of the true
+    distinct count; register merge across disjoint halves equals the
+    union's registers (max-mergeable, the property the groupby relies
+    on); linear-counting regime exact-ish for tiny cardinalities."""
+    import numpy as np
+
+    from themis_search_engine_ray.pipelines.sketches import (
+        _hll_registers,
+        distinct_terms_hll,
+        hll_estimate,
+    )
+
+    sf, true = zipf_docs
+    n_true = len(true)
+    out = distinct_terms_hll(sf)
+    est = int(out["n_distinct_est"].iloc[0])
+    sigma = 1.04 / (1 << 12) ** 0.5
+    assert abs(est - n_true) <= 3 * sigma * n_true + 2
+
+    # mergeability: max of per-half registers == registers of the union
+    toks = [f"tok{i}" for i in range(5000)]
+    r_all = _hll_registers(toks)
+    r_merged = np.maximum(_hll_registers(toks[:2500]), _hll_registers(toks[2500:]))
+    assert (r_all == r_merged).all()
+    e = hll_estimate(r_all)
+    assert abs(e - 5000) <= 3 * sigma * 5000
+
+    # small-range (linear counting) regime
+    assert abs(hll_estimate(_hll_registers([f"x{i}" for i in range(50)])) - 50) <= 3

@@ -17,6 +17,10 @@ Top-k frequent terms over the documents table two ways:
 
 Determinism: tie-break (count desc, term asc) on both paths and in the
 SQL oracle.
+
+:func:`distinct_terms_hll` adds the cardinality member of the family:
+per-batch HyperLogLog registers (Flajolet et al. 2007) merged with one
+``groupby(idx).max`` — max-mergeable like MG is sum-mergeable.
 """
 
 from __future__ import annotations
@@ -180,3 +184,105 @@ def topk_terms_sketch(
             stacklevel=2,
         )
     return tab
+
+
+# ------------------------------------------------------- HyperLogLog
+
+_HLL_P = 12  # 4096 registers, stderr ~ 1.04/sqrt(4096) = 1.6%
+
+
+def _hll_registers(tokens: list[str], p: int = _HLL_P) -> np.ndarray:
+    """Dense HLL register array for a token list (vectorized rho).
+
+    64-bit hash per UNIQUE token (memoized blake2b — the same policy as
+    the stem cache: Python touches unique strings only); top ``p`` bits
+    pick the register, the rank of the highest set bit in the remaining
+    ``64-p`` bits (from the top) is the register value."""
+    m = 1 << p
+    regs = np.zeros(m, np.int8)
+    if not tokens:
+        return regs
+    hs = np.fromiter(
+        (_hll_hash(t) for t in tokens), np.uint64, len(tokens)
+    )
+    idx = (hs >> np.uint64(64 - p)).astype(np.int64)
+    w = hs & np.uint64((1 << (64 - p)) - 1)
+    # rho = #leading zeros of the (64-p)-bit suffix + 1; 64-p = 52 bits
+    # fit float64's mantissa exactly, so log2 is exact
+    rho = np.full(len(hs), 64 - p + 1, np.int8)
+    nz = w > 0
+    rho[nz] = (64 - p - np.floor(np.log2(w[nz].astype(np.float64)))).astype(np.int8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+_HLL_HASH_CACHE: dict[str, int] = {}
+
+
+def _hll_hash(t: str) -> int:
+    h = _HLL_HASH_CACHE.get(t)
+    if h is None:
+        import hashlib
+
+        h = int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+        )
+        if len(_HLL_HASH_CACHE) < 1_000_000:
+            _HLL_HASH_CACHE[t] = h
+    return h
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator (Flajolet et al. 2007) with the
+    linear-counting small-range correction."""
+    m = regs.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def distinct_terms_hll(sf_dir: str, p: int = _HLL_P):
+    """Approximate DISTINCT-TERM count over the documents table.
+
+    Per-batch dense HLL registers → sparse (idx, val) rows (nonzero
+    only) → ``groupby(idx).max`` — registers are mergeable by
+    elementwise max, so the shuffle carries at most #batches × m tiny
+    int rows no matter how many distinct terms exist (the 100 TB story:
+    the exact path's full term shuffle vs a few KB of registers).
+    Returns a one-row DataFrame (n_distinct_est, precision, stderr).
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    def reg_rows(batch: pa.Table) -> pa.Table:
+        toks, _ = batch_token_counts(batch["text"])
+        regs = _hll_registers(toks, p)
+        nz = np.flatnonzero(regs)
+        return pa.Table.from_pydict(
+            {
+                "idx": nz.astype(np.int64),
+                "val": regs[nz].astype(np.int64),
+            }
+        )
+
+    merged = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(reg_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("idx")
+        .aggregate(Max("val", alias_name="val"))
+        .to_pandas()  # <= 2^p rows
+    )
+    regs = np.zeros(1 << p, np.int8)
+    if len(merged):
+        regs[merged["idx"].to_numpy()] = merged["val"].to_numpy()
+    return pd.DataFrame(
+        {
+            "n_distinct_est": [int(round(hll_estimate(regs)))],
+            "precision": [p],
+            "stderr_pct": [round(104.0 / (1 << p) ** 0.5, 2)],
+        }
+    )
