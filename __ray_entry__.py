@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- deterministic sampling + distribution summaries ----
         "stratified_sample": sampling.stratified_sample,
         "group_quantiles": sampling.group_quantiles,
+        # histogram-sketch quantiles: approximate by construction ->
+        # rows-only; 2-bin-width bound asserted in tests/test_sampling.py
+        "group_quantiles_hist": sampling.group_quantiles_hist,
         # ---- relational pipelines over the TPC-H-style tables ----
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,

@@ -72,3 +72,31 @@ def test_gather_ranges_equivalence():
         data[ranges_to_indices(starts, lens)],
     )
     assert gather_ranges(data, np.array([]), np.array([])).size == 0
+
+
+def test_group_quantiles_hist_bound(ray_session):
+    """Histogram-sketch quantiles within 2 bin-widths of the exact
+    quantile_cont values, per group and quantile."""
+    from themis_search_engine_ray.pipelines.sampling import (
+        QUANTILES,
+        group_quantiles,
+        group_quantiles_hist,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = group_quantiles(sf).to_pandas().set_index("event_type").sort_index()
+    est = group_quantiles_hist(sf, bins=2048).set_index("event_type").sort_index()
+    assert list(exact.index) == list(est.index)
+    import duckdb
+
+    rng = duckdb.sql(
+        f"SELECT event_type, max(value) - min(value) AS r "
+        f"FROM '{sf}/events.parquet' GROUP BY 1"
+    ).df().set_index("event_type")["r"]
+    for g in exact.index:
+        width = rng[g] / 2048
+        assert est.loc[g, "n"] == exact.loc[g, "n"]
+        for q in QUANTILES:
+            col = f"q{int(q * 100)}"
+            assert abs(est.loc[g, col] - exact.loc[g, col]) <= 2 * width + 1e-9, (
+                g, col, est.loc[g, col], exact.loc[g, col], width)

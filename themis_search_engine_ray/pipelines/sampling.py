@@ -87,3 +87,114 @@ def group_quantiles(sf_dir: str):
         .groupby("event_type")
         .map_groups(qrows, batch_format="pyarrow")
     )
+
+
+def group_quantiles_hist(sf_dir: str, bins: int = 2048):
+    """Approximate per-group quantiles with a PROVABLE value bound —
+    the mergeable-sketch swap :func:`group_quantiles` documents for
+    extreme-cardinality groups.
+
+    Two cheap passes instead of shuffling every (group, value) pair:
+
+    1. per-group ``Min``/``Max`` (a scalar aggregate), broadcast;
+    2. per-batch fixed-bin histograms over ``[min, max]`` emitted as
+       sparse (group, bin, count) rows, merged by ``groupby.sum`` —
+       counts are sum-mergeable, so shuffle volume is capped at
+       ``#batches × groups × bins`` regardless of row count.
+
+    A quantile is answered from the merged histogram's cumulative
+    counts with linear interpolation inside the landing bin. The true
+    ``quantile_cont`` value interpolates the two ranks straddling the
+    target, which live in the landing bin or its neighbor, so
+    ``|est - exact| <= 2 * (max - min) / bins`` (asserted in
+    tests/test_sampling.py). Output schema matches
+    :func:`group_quantiles` (q25/q50/q75/q90, rounded to 6).
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    src = lambda cols: rd.read_parquet(  # noqa: E731
+        f"{sf_dir}/events.parquet", columns=cols
+    )
+
+    ranges = (
+        src(["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(Min("value", alias_name="lo"), Max("value", alias_name="hi"))
+        .to_pandas()  # one row per group
+    )
+    lohi = {
+        r.event_type: (float(r.lo), float(r.hi)) for r in ranges.itertuples()
+    }
+    lohi_ref = ray.put(lohi)
+
+    def hist_rows(batch: pa.Table) -> pa.Table:
+        rng = ray.get(lohi_ref)
+        gs = batch["event_type"].to_pylist()
+        vs = batch["value"].to_numpy().astype(np.float64)
+        out_g, out_b, out_c = [], [], []
+        import collections
+
+        by_group = collections.defaultdict(list)
+        for i, g in enumerate(gs):
+            by_group[g].append(i)
+        for g, idxs in by_group.items():
+            lo, hi = rng[g]
+            v = vs[np.asarray(idxs)]
+            if hi == lo:
+                b = np.zeros(v.size, np.int64)
+            else:
+                b = np.clip(
+                    ((v - lo) / (hi - lo) * bins).astype(np.int64), 0, bins - 1
+                )
+            counts = np.bincount(b, minlength=0)
+            nz = np.flatnonzero(counts)
+            out_g.extend([g] * nz.size)
+            out_b.append(nz)
+            out_c.append(counts[nz])
+        if not out_g:
+            return pa.Table.from_pydict(
+                {"event_type": [], "bin": [], "cnt": []},
+                pa.schema(
+                    [("event_type", pa.string()), ("bin", pa.int64()), ("cnt", pa.int64())]
+                ),
+            )
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out_g, pa.string()),
+                "bin": np.concatenate(out_b),
+                "cnt": np.concatenate(out_c),
+            }
+        )
+
+    merged = (
+        src(["event_type", "value"])
+        .map_batches(hist_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # <= groups x bins rows
+    )
+
+    rows = []
+    for g, sub in merged.groupby("event_type"):
+        lo, hi = lohi[g]
+        width = (hi - lo) / bins if hi > lo else 0.0
+        sub = sub.sort_values("bin")
+        b = sub["bin"].to_numpy()
+        c = sub["cnt"].to_numpy().astype(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        row = {"event_type": g, "n": n}
+        for q in QUANTILES:
+            rn = (n - 1) * q  # quantile_cont rank
+            j = int(np.searchsorted(cum, rn + 1e-9, side="left"))
+            j = min(j, b.size - 1)
+            before = int(cum[j - 1]) if j > 0 else 0
+            inbin = int(c[j])
+            frac = (rn - before) / inbin if inbin else 0.0
+            est = lo + (b[j] + min(max(frac, 0.0), 1.0)) * width
+            row[f"q{int(q * 100)}"] = float(round_half_up(np.float64(est), 6))
+        rows.append(row)
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
