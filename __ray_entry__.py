@@ -55,11 +55,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_role_nostem": fulltext.bm25_role_nostem,
         "bm25_all_abs_nostem": fulltext.bm25_all_abs_nostem,
         "bm25_topk": fulltext.bm25_topk,
+        # SQL-checkable top-k variants: selection/rank on the ROUNDED
+        # score with the deterministic tie-break, so the k boundary is
+        # provably identical on both sides; the exact-score top-k path
+        # stays pytest-bit-exact (tests/test_index_conformance.py)
+        "bm25_topk_nostem": fulltext.bm25_topk_nostem,
         "vsm_all_nostem": fulltext.vsm_all_nostem,
         "vsm_topk": fulltext.vsm_topk,
+        "vsm_topk_nostem": fulltext.vsm_topk_nostem,
         "existential_all": fulltext.existential_all,
         "phrase_all_nostem": fulltext.phrase_all_nostem,
         "phrase_topk": fulltext.phrase_topk,
+        "phrase_topk_nostem": fulltext.phrase_topk_nostem,
         "eval_metrics": _eval_metrics,
         # ---- dedup family ----
         "dedup_exact": dedup.exact_dedup,
@@ -97,7 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": sampling.stratified_sample,
         "group_quantiles": sampling.group_quantiles,
         # histogram-sketch quantiles: approximate by construction ->
-        # rows-only; 2-bin-width bound asserted in tests/test_sampling.py
+        # rows-only; one-bin-width bound asserted in tests/test_sampling.py
         "group_quantiles_hist": sampling.group_quantiles_hist,
         # ---- relational pipelines over the TPC-H-style tables ----
         "pricing_summary": relational.pricing_summary,
@@ -261,7 +268,7 @@ def _phrase_values() -> str:
 
 def oracle_sql() -> dict[str, str]:
     stop = _stoplist_sql()
-    return {
+    out = {
         "turns_passthrough": (
             f"WITH {_TURNS_CTE} SELECT conv_id, turn_idx, text, role FROM turns"
         ),
@@ -628,6 +635,24 @@ def oracle_sql() -> dict[str, str]:
         # non-SQL-expressible → rows-only checks; exactness/recall is
         # covered by pytest oracles.
     }
+    # deterministic rounded-score top-k wrappers over the *_all bases
+    out["bm25_topk_nostem"] = _topk_wrap(out["bm25_all_nostem"])
+    out["vsm_topk_nostem"] = _topk_wrap(out["vsm_all_nostem"])
+    out["phrase_topk_nostem"] = _topk_wrap(out["phrase_all_nostem"])
+    return out
+
+
+def _topk_wrap(base_sql: str, k: int = 10) -> str:
+    """Per-qid top-k over a (qid, conv_id, turn_idx, score) base query:
+    row_number on (score DESC, conv_id, turn_idx) — the same rounded
+    score + tie-break the Ray-side ``_topk_rounded`` ranks by."""
+    return (
+        'SELECT qid, conv_id, turn_idx, score, "rank" FROM ('
+        "SELECT qid, conv_id, turn_idx, score, "
+        "CAST(row_number() OVER (PARTITION BY qid "
+        'ORDER BY score DESC, conv_id, turn_idx) - 1 AS BIGINT) AS "rank" '
+        f"FROM ({base_sql})) WHERE \"rank\" < {k}"
+    )
 
 
 def _pagerank_sql(n_iter: int = 6, damping: float = 0.85) -> str:

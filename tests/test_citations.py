@@ -54,6 +54,21 @@ def test_parse_entry_reference_quirks():
     assert _parse_entry("{nope") == ("", [], [], 1)
     assert _parse_entry("[1, 2]") == ("", [], [], 1)
 
+    # wrong-typed fields in VALID JSON also blank the entry (Java's
+    # getJSONArray/getJSONObject throw -> logged-and-blank), never
+    # crash the task and never iterate a string id char-by-char
+    assert _parse_entry(json.dumps({"id": A, "authors": "smith"})) == ("", [], [], 1)
+    assert _parse_entry(json.dumps({"id": A, "authors": ["smith"]})) == ("", [], [], 1)
+    assert _parse_entry(json.dumps({"id": A, "authors": [{"ids": "12"}]})) == (
+        "", [], [], 1)
+    assert _parse_entry(json.dumps({"id": A, "outCitations": "x"})) == ("", [], [], 1)
+    assert _parse_entry(json.dumps({"id": {"a": 1}})) == ("", [], [], 1)
+    # null author entries are skipped, not fatal
+    assert _parse_entry(json.dumps({"id": A, "authors": [None]})) == (A, [], [], 0)
+    # integer ids coerce like Java string coercion
+    assert _parse_entry(json.dumps({"id": A, "authors": [{"ids": [12]}]})) == (
+        A, ["12"], [], 0)
+
 
 def test_read_entries_and_edges(ray_session, tmp_path):
     path = _jsonl(

@@ -71,6 +71,48 @@ def test_simhash_determinism_and_symmetry():
     assert (df["a"] < df["b"]).all()
 
 
+def test_batch_tokenization_matches_scalar_on_unicode():
+    """The vectorized shingle/simhash paths must tokenize like the
+    scalar verify/oracle paths — lower FIRST, so e.g. U+212A KELVIN
+    SIGN ('K'.lower() == 'k') yields a token instead of vanishing."""
+    import pyarrow as pa
+
+    from themis_search_engine_ray.pipelines.dedup import (
+        _hash64,
+        _shingle_hashes_batch,
+        _shingles,
+        simhash64,
+        simhash64_batch,
+    )
+
+    texts = [
+        "K hello world foo",  # KELVIN SIGN -> 'k'
+        "café au lait",       # é stays non-ASCII (stripped) both ways
+        "plain ascii text here",
+        "",
+    ]
+    col = pa.chunked_array([pa.array(texts, pa.string())])
+    # simhash: bit-identical per row
+    sigs = simhash64_batch(col)
+    for i, t in enumerate(texts):
+        assert int(sigs[i]) == simhash64(t), t
+    # shingles: batch hash set == hash of the scalar string shingles
+    d_idx, sh, n = _shingle_hashes_batch(col, 3)
+    assert n == len(texts)
+    from themis_search_engine_ray.pipelines.dedup import _SHINGLE_B
+
+    def shingle_hash(s: str) -> int:
+        h = np.uint64(0)
+        for tok in s.split(" "):
+            h = h * _SHINGLE_B + np.uint64(_hash64(tok))
+        return int(h)
+
+    for i, t in enumerate(texts):
+        got = {int(h) for h in sh[d_idx == i]}
+        want = {shingle_hash(s) for s in _shingles(t, 3)}
+        assert got == want, t
+
+
 def test_exact_dedup_counts():
     from themis_search_engine_ray.pipelines.dedup import exact_dedup
 

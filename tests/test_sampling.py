@@ -75,7 +75,7 @@ def test_gather_ranges_equivalence():
 
 
 def test_group_quantiles_hist_bound(ray_session):
-    """Histogram-sketch quantiles within 2 bin-widths of the exact
+    """Histogram-sketch quantiles within ONE bin-width of the exact
     quantile_cont values, per group and quantile."""
     from themis_search_engine_ray.pipelines.sampling import (
         QUANTILES,
@@ -98,5 +98,41 @@ def test_group_quantiles_hist_bound(ray_session):
         assert est.loc[g, "n"] == exact.loc[g, "n"]
         for q in QUANTILES:
             col = f"q{int(q * 100)}"
-            assert abs(est.loc[g, col] - exact.loc[g, col]) <= 2 * width + 1e-9, (
+            assert abs(est.loc[g, col] - exact.loc[g, col]) <= width + 1e-9, (
                 g, col, est.loc[g, col], exact.loc[g, col], width)
+
+
+def test_group_quantiles_hist_bound_gapped(ray_session, tmp_path):
+    """Adversarial empty-bin-gap distribution: a fractional quantile
+    rank straddling two values on opposite sides of a huge run of
+    empty bins. A landing-bin-only interpolator errs by ~(max-min)/2
+    here; the two-order-statistic estimator stays within one bin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.sampling import (
+        QUANTILES,
+        group_quantiles,
+        group_quantiles_hist,
+    )
+
+    bins = 2048
+    # 5 values at 0.0, 5 at 1.0: q50 rank rn = 4.5 straddles the gap
+    vals = [0.0] * 5 + [1.0] * 5
+    tab = pa.table(
+        {
+            "event_type": ["gap"] * len(vals),
+            "value": pa.array(vals, pa.float64()),
+            "user_id": list(range(len(vals))),
+            "ts": list(range(len(vals))),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    exact = group_quantiles(str(tmp_path)).to_pandas().set_index("event_type")
+    est = group_quantiles_hist(str(tmp_path), bins=bins).set_index("event_type")
+    width = 1.0 / bins
+    assert exact.loc["gap", "q50"] == 0.5
+    for q in QUANTILES:
+        col = f"q{int(q * 100)}"
+        assert abs(est.loc["gap", col] - exact.loc["gap", col]) <= width + 1e-9, (
+            col, est.loc["gap", col], exact.loc["gap", col])

@@ -86,6 +86,39 @@ def test_sketch_error_bound_and_recall(zipf_docs):
     assert guaranteed <= set(est)
 
 
+def test_sketch_warns_when_candidates_short_of_k(zipf_docs):
+    """capacity << k: the candidate union can hold fewer than k terms —
+    the truncated result must carry the not-certified UserWarning, not
+    return silently (regression: the warning was gated on len == k)."""
+    sf, _ = zipf_docs
+    with pytest.warns(UserWarning, match="not certified"):
+        out = topk_terms_sketch(sf, k=200, capacity=8)
+    assert len(out) < 200
+
+
+def test_bit_length_u64_exact():
+    from themis_search_engine_ray.pipelines.sketches import _bit_length_u64
+
+    vals = [1, 2, 3, (1 << 32) - 1, 1 << 32, (1 << 52) - 1, 1 << 52,
+            (1 << 53) - 1, (1 << 63) + 5, (1 << 64) - 1]
+    got = _bit_length_u64(np.array(vals, np.uint64))
+    assert got.tolist() == [int(v).bit_length() for v in vals]
+
+
+def test_hll_rho_exact_near_power_of_two():
+    """w = 2^52 - 1 (all 52 suffix bits set): float log2 rounds to 52
+    and records rho 0 ('unseen'); the integer bit_length path must
+    record the true rho = 1."""
+    from themis_search_engine_ray.pipelines.sketches import _bit_length_u64
+
+    p = 12
+    w = np.array([(1 << (64 - p)) - 1], np.uint64)
+    rho = (64 - p + 1 - _bit_length_u64(w)).astype(np.int8)
+    assert rho[0] == 1
+    # and the float path really is wrong here (documents the motivation)
+    assert int(64 - p - np.floor(np.log2(w.astype(np.float64))[0])) == 0
+
+
 def test_hll_bound_and_mergeability(zipf_docs):
     """HLL estimate within 3 sigma (sigma = 1.04/sqrt(m)) of the true
     distinct count; register merge across disjoint halves equals the

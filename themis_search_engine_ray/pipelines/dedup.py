@@ -94,10 +94,12 @@ def _token_hash_cached(tok: str) -> int:
 def _token_hash_codes(text_col):
     """(doc_of, token_hashes u64, n_docs) over the normalized token
     stream — tokenization identical to ``_WORD_RE.findall(text.lower())``
-    (runs of [a-z0-9]); '' split artifacts dropped."""
+    (runs of [a-z0-9] of the LOWERED text — ``lower_first=True``, so a
+    Unicode char whose lowercase maps into ASCII tokenizes the same as
+    in the scalar verify/oracle paths); '' split artifacts dropped."""
     from ..stages.tokenize import token_codes_batch
 
-    uniq, codes, lens, n = token_codes_batch(text_col)
+    uniq, codes, lens, n = token_codes_batch(text_col, lower_first=True)
     th = np.fromiter(
         (_token_hash_cached(t) if t else 0 for t in uniq), np.uint64, len(uniq)
     )
@@ -679,7 +681,7 @@ def simhash64_batch(text_col) -> np.ndarray:
     bit matrix × per-(doc, token) counts, accumulated per doc."""
     from ..stages.tokenize import token_codes_batch
 
-    uniq, codes, lens, n = token_codes_batch(text_col)
+    uniq, codes, lens, n = token_codes_batch(text_col, lower_first=True)
     out = np.zeros(n, np.uint64)
     if not len(uniq):
         return out

@@ -201,6 +201,29 @@ def bm25_topk(sf_dir: str, k: int = 10):
     return _bm25(sf_dir, AnalyzerConfig(), k=k, round_to=None)
 
 
+def _topk_rounded(df, k: int):
+    """Deterministic per-qid top-k on the ROUNDED score with the
+    engine's tie-break (score desc, conv asc, turn asc) — selection by
+    a value both the engine and the SQL oracle provably share (the
+    *_all_nostem hash matches), so the k boundary can never flip on a
+    sub-rounding float difference. The exact-score top-k path stays
+    covered bit-exactly in pytest (bm25_topk / vsm_topk / phrase_topk)."""
+    df = df.sort_values(
+        ["qid", "score", "conv_id", "turn_idx"],
+        ascending=[True, False, True, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+    df["rank"] = df.groupby("qid").cumcount().astype("int64")
+    return df[df["rank"] < k].reset_index(drop=True)
+
+
+def bm25_topk_nostem(sf_dir: str, k: int = 10):
+    """SQL-oracle-checkable top-k: nostem BM25 over all OR matches,
+    rounded to 4, ranked deterministically (see :func:`_topk_rounded`)."""
+    df = _bm25(sf_dir, AnalyzerConfig(use_stemmer=False), k=None, round_to=4)
+    return _topk_rounded(df.drop(columns=["rank"]), k)
+
+
 def _phrase(sf_dir: str, cfg: AnalyzerConfig, k: int | None, round_to: int | None):
     import pandas as pd
 
@@ -238,6 +261,12 @@ def phrase_all_nostem(sf_dir: str):
 def phrase_topk(sf_dir: str, k: int = 10):
     """Stemmed exact-phrase top-k (pytest-verified vs the oracle)."""
     return _phrase(sf_dir, AnalyzerConfig(), k=k, round_to=None)
+
+
+def phrase_topk_nostem(sf_dir: str, k: int = 10):
+    """SQL-oracle-checkable phrase top-k (rounded-score rank, nostem)."""
+    df = _phrase(sf_dir, AnalyzerConfig(use_stemmer=False), k=None, round_to=4)
+    return _topk_rounded(df.drop(columns=["rank"]), k)
 
 
 def _ensure_norms(idx: str) -> None:
@@ -287,6 +316,12 @@ def vsm_topk(sf_dir: str, k: int = 10):
     """Stemmed VSM top-k (pytest-verified vs the oracle; rows-only for
     the driver)."""
     return _vsm(sf_dir, AnalyzerConfig(), k=k, round_to=None)
+
+
+def vsm_topk_nostem(sf_dir: str, k: int = 10):
+    """SQL-oracle-checkable VSM top-k (rounded-score rank, nostem)."""
+    df = _vsm(sf_dir, AnalyzerConfig(use_stemmer=False), k=None, round_to=4)
+    return _topk_rounded(df.drop(columns=["rank"]), k)
 
 
 def existential_all(sf_dir: str):

@@ -24,40 +24,45 @@ import numpy as np
 import pyarrow as pa
 
 
+def _tag_error_click(batch: pa.Table) -> pa.Table:
+    """Shared probe/build tagging for the temporal joins: keep only
+    error/click events, cast ts to int64 µs, mark errors as the left
+    (probe) side. Vectorized (Arrow is_in/equal kernels, no row loop)."""
+    import pyarrow.compute as pc
+
+    sub = batch.filter(
+        pc.is_in(batch["event_type"], value_set=pa.array(["error", "click"]))
+    )
+    return pa.Table.from_arrays(
+        [
+            sub["user_id"],
+            sub["event_id"],
+            sub["ts"].cast(pa.int64()),
+            pc.equal(sub["event_type"], "error").cast(pa.int8()),
+            sub["value"],
+        ],
+        names=["user_id", "event_id", "tus", "is_left", "value"],
+    )
+
+
+def _tagged_events(sf_dir: str):
+    """events.parquet → tagged (user_id, event_id, tus, is_left, value)
+    Dataset, column-pruned at the read."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).map_batches(_tag_error_click, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def asof_join_events(sf_dir: str):
     """(error event) ⟕asof (latest same-user click with ts ≤ error ts).
 
     Output: (event_id, user_id, ts_s, click_event_id, click_ts_s,
     click_value) — click columns null when the user has no prior click.
     Timestamps are epoch-seconds (int) for oracle comparability."""
-    import ray.data as rd
-
     US = 1_000_000
-
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "ts", "user_id", "event_type", "value"],
-    )
-
-    def tag(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_pylist()
-        keep = pa.array(
-            [i for i, e in enumerate(et) if e in ("error", "click")], pa.int64()
-        )
-        sub = batch.take(keep)
-        return pa.Table.from_arrays(
-            [
-                sub["user_id"],
-                sub["event_id"],
-                sub["ts"].cast(pa.int64()),
-                pa.array(
-                    [1 if e == "error" else 0 for e in sub["event_type"].to_pylist()],
-                    pa.int8(),
-                ),
-                sub["value"],
-            ],
-            names=["user_id", "event_id", "tus", "is_left", "value"],
-        )
 
     def join_group(group: pa.Table) -> pa.Table:
         is_left = group["is_left"].to_numpy().astype(bool)
@@ -111,10 +116,8 @@ def asof_join_events(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(join_group, batch_format="pyarrow")
+    return _tagged_events(sf_dir).groupby("user_id").map_groups(
+        join_group, batch_format="pyarrow"
     )
 
 
@@ -136,37 +139,10 @@ def range_join_events(sf_dir: str, window_s: int = 300):
     Output: (event_id, user_id, ts_s, n_clicks, sum_click_value) with
     sum rounded to 6 decimals for oracle comparability.
     """
-    import ray.data as rd
-
     from ..functions.rounding import round_half_up
 
     US = 1_000_000
     w_us = window_s * US
-
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "ts", "user_id", "event_type", "value"],
-    )
-
-    def tag(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_pylist()
-        keep = pa.array(
-            [i for i, e in enumerate(et) if e in ("error", "click")], pa.int64()
-        )
-        sub = batch.take(keep)
-        return pa.Table.from_arrays(
-            [
-                sub["user_id"],
-                sub["event_id"],
-                sub["ts"].cast(pa.int64()),
-                pa.array(
-                    [1 if e == "error" else 0 for e in sub["event_type"].to_pylist()],
-                    pa.int8(),
-                ),
-                sub["value"],
-            ],
-            names=["user_id", "event_id", "tus", "is_left", "value"],
-        )
 
     _OUT = pa.schema(
         [
@@ -205,8 +181,6 @@ def range_join_events(sf_dir: str, window_s: int = 300):
             }
         ).cast(_OUT)
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(join_group, batch_format="pyarrow")
+    return _tagged_events(sf_dir).groupby("user_id").map_groups(
+        join_group, batch_format="pyarrow"
     )

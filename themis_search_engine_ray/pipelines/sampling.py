@@ -102,13 +102,21 @@ def group_quantiles_hist(sf_dir: str, bins: int = 2048):
        counts are sum-mergeable, so shuffle volume is capped at
        ``#batches × groups × bins`` regardless of row count.
 
-    A quantile is answered from the merged histogram's cumulative
-    counts with linear interpolation inside the landing bin. The true
-    ``quantile_cont`` value interpolates the two ranks straddling the
-    target, which live in the landing bin or its neighbor, so
-    ``|est - exact| <= 2 * (max - min) / bins`` (asserted in
-    tests/test_sampling.py). Output schema matches
-    :func:`group_quantiles` (q25/q50/q75/q90, rounded to 6).
+    A quantile is answered from the merged histogram by estimating the
+    TWO order statistics ``X[floor(rn)]`` / ``X[ceil(rn)]`` that
+    ``quantile_cont`` interpolates between — each located via the
+    cumulative counts and estimated inside its landing bin — and then
+    interpolating those estimates with the same fraction. Each order
+    statistic and its estimate lie in the same bin, so each is off by
+    at most one bin width; a convex combination of the two keeps
+    ``|est - exact| <= (max - min) / bins`` (asserted, including an
+    adversarial empty-bin-gap distribution, in tests/test_sampling.py;
+    interpolating only inside the landing bin of the fractional rank —
+    the naive estimator — has NO such bound: when the two straddling
+    ranks sit on opposite sides of a run of empty bins the exact value
+    interpolates across the gap, with error up to ~(max-min)/2).
+    Output schema matches :func:`group_quantiles` (q25/q50/q75/q90,
+    rounded to 6).
     """
     import pandas as pd
     import ray
@@ -131,41 +139,42 @@ def group_quantiles_hist(sf_dir: str, bins: int = 2048):
     lohi_ref = ray.put(lohi)
 
     def hist_rows(batch: pa.Table) -> pa.Table:
+        # Whole-batch vectorized: dictionary-encode the group column
+        # (Python touches only the few UNIQUE groups for the lo/hi
+        # lookup), broadcast each row's range via the codes, one bin
+        # computation + one bincount over a combined (code, bin) key.
         rng = ray.get(lohi_ref)
-        gs = batch["event_type"].to_pylist()
-        vs = batch["value"].to_numpy().astype(np.float64)
-        out_g, out_b, out_c = [], [], []
-        import collections
-
-        by_group = collections.defaultdict(list)
-        for i, g in enumerate(gs):
-            by_group[g].append(i)
-        for g, idxs in by_group.items():
-            lo, hi = rng[g]
-            v = vs[np.asarray(idxs)]
-            if hi == lo:
-                b = np.zeros(v.size, np.int64)
-            else:
-                b = np.clip(
-                    ((v - lo) / (hi - lo) * bins).astype(np.int64), 0, bins - 1
-                )
-            counts = np.bincount(b, minlength=0)
-            nz = np.flatnonzero(counts)
-            out_g.extend([g] * nz.size)
-            out_b.append(nz)
-            out_c.append(counts[nz])
-        if not out_g:
+        if batch.num_rows == 0:
             return pa.Table.from_pydict(
                 {"event_type": [], "bin": [], "cnt": []},
                 pa.schema(
                     [("event_type", pa.string()), ("bin", pa.int64()), ("cnt", pa.int64())]
                 ),
             )
+        enc = batch["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        cats = enc.dictionary.to_pylist()
+        los = np.asarray([rng[g][0] for g in cats], np.float64)
+        his = np.asarray([rng[g][1] for g in cats], np.float64)
+        vs = batch["value"].to_numpy().astype(np.float64)
+        lo_r, hi_r = los[codes], his[codes]
+        span = hi_r - lo_r
+        b = np.zeros(vs.size, np.int64)
+        m = span > 0.0
+        # same elementwise IEEE ops as the per-group formula
+        b[m] = np.clip(
+            ((vs[m] - lo_r[m]) / span[m] * bins).astype(np.int64), 0, bins - 1
+        )
+        key = codes * bins + b
+        counts = np.bincount(key, minlength=len(cats) * bins)
+        nz = np.flatnonzero(counts)
         return pa.Table.from_pydict(
             {
-                "event_type": pa.array(out_g, pa.string()),
-                "bin": np.concatenate(out_b),
-                "cnt": np.concatenate(out_c),
+                "event_type": pa.array(
+                    np.asarray(cats, object)[nz // bins], pa.string()
+                ),
+                "bin": nz % bins,
+                "cnt": counts[nz],
             }
         )
 
@@ -186,15 +195,23 @@ def group_quantiles_hist(sf_dir: str, bins: int = 2048):
         c = sub["cnt"].to_numpy().astype(np.int64)
         cum = np.cumsum(c)
         n = int(cum[-1])
+        def order_stat_est(r: int) -> float:
+            # bin j holds the 0-indexed order statistic X[r]:
+            # cum[j-1] <= r < cum[j]
+            j = min(int(np.searchsorted(cum, r, side="right")), b.size - 1)
+            before = int(cum[j - 1]) if j > 0 else 0
+            inbin = int(c[j])
+            pos = (r - before + 0.5) / inbin if inbin else 0.5
+            return lo + (b[j] + pos) * width  # inside X[r]'s bin
+
         row = {"event_type": g, "n": n}
         for q in QUANTILES:
             rn = (n - 1) * q  # quantile_cont rank
-            j = int(np.searchsorted(cum, rn + 1e-9, side="left"))
-            j = min(j, b.size - 1)
-            before = int(cum[j - 1]) if j > 0 else 0
-            inbin = int(c[j])
-            frac = (rn - before) / inbin if inbin else 0.0
-            est = lo + (b[j] + min(max(frac, 0.0), 1.0)) * width
+            r_lo = int(np.floor(rn))
+            r_hi = int(np.ceil(rn))
+            e_lo = order_stat_est(r_lo)
+            e_hi = e_lo if r_hi == r_lo else order_stat_est(r_hi)
+            est = e_lo + (rn - r_lo) * (e_hi - e_lo)
             row[f"q{int(q * 100)}"] = float(round_half_up(np.float64(est), 6))
         rows.append(row)
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)

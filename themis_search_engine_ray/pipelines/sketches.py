@@ -79,11 +79,14 @@ def topk_terms_exact(sf_dir: str, k: int = 50):
     return tab.reset_index(drop=True)
 
 
-# Sentinel term carrying each batch's TRUE token total through the same
-# shuffle as the sketch rows ("\x00" sorts before any real token and can
-# never be produced by the tokenizer). Summed, it yields the global N
-# that the MG error bound N/(capacity+1) needs.
+# Sentinel terms carrying per-batch metadata through the same shuffle
+# as the sketch rows ("\x00" sorts before any real token and can never
+# be produced by the tokenizer). Summed, `total` yields the global N
+# the MG error bound N/(capacity+1) needs; `dropped` counts batches
+# whose summary actually pruned terms (0 total ⇒ the candidate set is
+# the complete term set, so a <k result is certifiably complete).
 _TOTAL_SENTINEL = "\x00total"
+_DROPPED_SENTINEL = "\x00dropped"
 
 
 def topk_terms_sketch(
@@ -113,8 +116,11 @@ def topk_terms_sketch(
     def sketch_rows(batch: pa.Table) -> pa.Table:
         counts = _batch_counts(batch)
         mg = misra_gries(counts, capacity)
-        terms = list(mg.keys()) + [_TOTAL_SENTINEL]
-        vals = list(mg.values()) + [int(sum(counts.values()))]
+        terms = list(mg.keys()) + [_TOTAL_SENTINEL, _DROPPED_SENTINEL]
+        vals = list(mg.values()) + [
+            int(sum(counts.values())),
+            int(len(mg) < len(counts)),
+        ]
         return pa.Table.from_pydict(
             {
                 "term": pa.array(terms, pa.string()),
@@ -135,7 +141,14 @@ def topk_terms_sketch(
     def drop_sentinel(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return batch.filter(pc.not_equal(batch["term"], _TOTAL_SENTINEL))
+        return batch.filter(
+            pc.invert(
+                pc.is_in(
+                    batch["term"],
+                    value_set=pa.array([_TOTAL_SENTINEL, _DROPPED_SENTINEL]),
+                )
+            )
+        )
 
     if not refine:
         tab = (
@@ -146,9 +159,14 @@ def topk_terms_sketch(
         )
         return tab.reset_index(drop=True)
 
-    cand_tab = agg.to_pandas()  # bounded: ≤ #batches × capacity (+1) rows
+    cand_tab = agg.to_pandas()  # bounded: ≤ #batches × capacity (+2) rows
     n_total = int(cand_tab.loc[cand_tab["term"] == _TOTAL_SENTINEL, "est_count"].sum())
-    cand = frozenset(cand_tab.loc[cand_tab["term"] != _TOTAL_SENTINEL, "term"])
+    n_dropped_batches = int(
+        cand_tab.loc[cand_tab["term"] == _DROPPED_SENTINEL, "est_count"].sum()
+    )
+    cand = frozenset(
+        cand_tab.loc[~cand_tab["term"].str.startswith("\x00"), "term"]
+    )
     cand_ref = ray.put(cand)
 
     def exact_rows(batch: pa.Table) -> pa.Table:
@@ -173,13 +191,21 @@ def topk_terms_sketch(
     ).reset_index(drop=True)
 
     bound = n_total / (capacity + 1)
-    if len(tab) == k and int(tab["count"].iloc[-1]) <= bound:
+    kth = int(tab["count"].iloc[-1]) if len(tab) else 0
+    # Not certified when (a) we returned k terms but the k-th does not
+    # beat the MG drop bound, or (b) we returned FEWER than k terms and
+    # some batch summary actually pruned terms (when none did, the
+    # candidate set is the complete term set and <k rows just means
+    # fewer than k distinct terms exist).
+    if (len(tab) == k and kth <= bound) or (
+        len(tab) < k and n_dropped_batches > 0
+    ):
         import warnings
 
         warnings.warn(
-            f"topk_terms_sketch: k-th count {int(tab['count'].iloc[-1])} <= "
-            f"MG bound N/(capacity+1) = {bound:.1f}; top-{k} not certified "
-            f"exact — raise capacity",
+            f"topk_terms_sketch: returned {len(tab)} terms, k-th count "
+            f"{kth} vs MG bound N/(capacity+1) = {bound:.1f}; top-{k} not "
+            f"certified exact — raise capacity",
             UserWarning,
             stacklevel=2,
         )
@@ -207,13 +233,27 @@ def _hll_registers(tokens: list[str], p: int = _HLL_P) -> np.ndarray:
     )
     idx = (hs >> np.uint64(64 - p)).astype(np.int64)
     w = hs & np.uint64((1 << (64 - p)) - 1)
-    # rho = #leading zeros of the (64-p)-bit suffix + 1; 64-p = 52 bits
-    # fit float64's mantissa exactly, so log2 is exact
+    # rho = #leading zeros of the (64-p)-bit suffix + 1, via an EXACT
+    # vectorized integer bit_length (float log2 rounds up for suffixes
+    # within an ulp below a power of two — e.g. w = 2^52 - 1 — recording
+    # rho-1 / "unseen" for those hashes)
     rho = np.full(len(hs), 64 - p + 1, np.int8)
     nz = w > 0
-    rho[nz] = (64 - p - np.floor(np.log2(w[nz].astype(np.float64)))).astype(np.int8)
+    rho[nz] = (64 - p + 1 - _bit_length_u64(w[nz])).astype(np.int8)
     np.maximum.at(regs, idx, rho)
     return regs
+
+
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Exact ``int.bit_length`` over a uint64 array (binary reduction;
+    6 vectorized passes, no float rounding)."""
+    v = v.astype(np.uint64, copy=True)
+    n = np.zeros(v.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        n[m] += s
+        v[m] >>= np.uint64(s)
+    return n + (v > 0)
 
 
 _HLL_HASH_CACHE: dict[str, int] = {}

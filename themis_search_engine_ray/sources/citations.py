@@ -51,21 +51,44 @@ EDGE_SCHEMA = pa.schema(
 
 
 def _parse_entry(line: str):
-    """Reference-semantics parse of one JSON line (readGraphEntry)."""
+    """Reference-semantics parse of one JSON line (readGraphEntry).
+
+    The reference blanks the entry on ANY parse exception — including
+    wrong-typed fields, where Java's ``getJSONArray``/``getJSONObject``
+    throw (S2JsonEntryReader.java:162-209) — so type violations here
+    (``authors`` a string, an author item not an object, ``ids`` /
+    ``outCitations`` not arrays) are counted as malformed rather than
+    crashing the task or silently iterating a string char-by-char."""
     try:
         obj = json.loads(line)
         if not isinstance(obj, dict):
             raise ValueError("not an object")
+        authors: list[str] = []
+        raw_authors = obj.get("authors")
+        if raw_authors is not None and not isinstance(raw_authors, list):
+            raise ValueError("authors not an array")
+        for author in raw_authors or []:
+            if author is None:
+                continue
+            if not isinstance(author, dict):
+                raise ValueError("author not an object")
+            ids = author.get("ids")
+            if ids is not None and not isinstance(ids, list):
+                raise ValueError("author ids not an array")
+            # the reference flattens each author's id strings directly
+            # into the single entry-level list (inner list is dead code)
+            for aid in ids or []:
+                authors.append(str(aid))
+        raw_cits = obj.get("outCitations")
+        if raw_cits is not None and not isinstance(raw_cits, list):
+            raise ValueError("outCitations not an array")
+        citations = [str(c) for c in raw_cits or []]
+        doc_id = obj.get("id")
+        if doc_id is not None and not isinstance(doc_id, (str, int)):
+            raise ValueError("id not a scalar")
+        return str(doc_id or ""), authors, citations, 0
     except ValueError:
         return "", [], [], 1  # logged-and-blank in the reference
-    authors: list[str] = []
-    for author in obj.get("authors") or []:
-        # the reference flattens each author's id strings directly into
-        # the single entry-level list (inner list is dead code)
-        for aid in (author or {}).get("ids") or []:
-            authors.append(str(aid))
-    citations = [str(c) for c in obj.get("outCitations") or []]
-    return str(obj.get("id") or ""), authors, citations, 0
 
 
 def read_graph_entries(path: str):

@@ -80,7 +80,7 @@ def _cumsum_excl(counts: np.ndarray) -> np.ndarray:
     return out
 
 
-def token_codes_batch(text_col):
+def token_codes_batch(text_col, lower_first: bool = False):
     """Vectorized M1-M2 over a whole Arrow text column: normalize →
     whitespace-split → flatten → dictionary-encode. Returns
     ``(uniq, codes, lens, n)`` where ``uniq`` is the batch's unique-token
@@ -88,10 +88,26 @@ def token_codes_batch(text_col):
     from ``lens``), and empty-string split artifacts (Arrow emits them
     for leading/trailing runs; Python's ``str.split()`` never does) are
     NOT yet dropped — their code is flagged so callers can mask them.
-    Shared by the index build, df/count pipelines and dedup shingling."""
+    Shared by the index build, df/count pipelines and dedup shingling.
+
+    ``lower_first=False`` (default) is M1 semantics: strip non-ASCII
+    alnum THEN ascii-lower (a Unicode char whose lowercase is ASCII,
+    e.g. U+212A KELVIN SIGN, is dropped). ``lower_first=True`` is the
+    dedup/oracle tokenization ``[a-z0-9]+`` runs of ``text.lower()``:
+    Unicode-lower FIRST, so that same char becomes a literal ``k``
+    (matches ``re.findall('[a-z0-9]+', text.lower())`` and DuckDB's
+    ``string_split_regex(lower(text), ...)`` modulo utf8proc-vs-Python
+    lowercase table differences, which agree on all common text)."""
     import pyarrow.compute as pc
 
-    norm = normalize_column(text_col, as_arrow=True)
+    if lower_first:
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(text_col, "")),
+            pattern="[^a-z0-9]+",
+            replacement=" ",
+        )
+    else:
+        norm = normalize_column(text_col, as_arrow=True)
     if isinstance(norm, pa.ChunkedArray):
         norm = norm.combine_chunks()
     n = len(norm)
