@@ -23,6 +23,7 @@ from typing import Any
 
 from themis_search_engine_ray.functions.analyzer import STOPWORDS
 from themis_search_engine_ray.pipelines import (
+    decontaminate,
     dedup,
     fulltext,
     graph,
@@ -76,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_dup_pairs_lsh": dedup.embedding_dup_pairs_lsh,
         "dedup_clusters": dedup.dedup_clusters,
+        # train/test decontamination: broadcast benchmark shingles,
+        # one streaming pass, hash-probe + exact verify
+        "decontaminate": decontaminate.decontaminate,
         # ---- iterative graph analytics (working replacement for the
         # reference's abandoned PageRank stub — rows-only) ----
         "pagerank_dup_graph": graph.pagerank_dup_graph,
@@ -102,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_terms_hll": sketches.distinct_terms_hll,
         # ---- deterministic sampling + distribution summaries ----
         "stratified_sample": sampling.stratified_sample,
+        # per-group example capping (latest-N-per-user)
+        "latest_n_per_user": sampling.latest_n_per_user,
         "group_quantiles": sampling.group_quantiles,
         # histogram-sketch quantiles: approximate by construction ->
         # rows-only; one-bin-width bound asserted in tests/test_sampling.py
@@ -462,6 +468,31 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": (
             "SELECT doc_id, source, lang FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '1999'"
+        ),
+        "latest_n_per_user": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events), "
+            "r AS (SELECT user_id, event_id, CAST(tus // 1000000 AS BIGINT) AS ts_s, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY tus DESC, event_id DESC) - 1 AS BIGINT) AS rn FROM e) "
+            "SELECT user_id, event_id, ts_s, rn FROM r WHERE rn < 5"
+        ),
+        "decontaminate": (
+            # same derivation as the jaccard/pagerank oracles: word
+            # trigrams of lower()ed [a-z0-9] runs; held-out split =
+            # md5(doc_id)[:4] <= '0147' (the stratified_sample rule)
+            "WITH raw AS (SELECT doc_id, "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h, "
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ts "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, h, unnest(ts) AS tok, "
+            "generate_subscripts(ts, 1) AS ord FROM raw), "
+            "tri AS (SELECT a.doc_id, a.h, a.tok || ' ' || b.tok || ' ' || c.tok AS sh "
+            "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1 "
+            "JOIN tok c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2), "
+            "bench AS (SELECT DISTINCT sh FROM tri WHERE h <= '0147'), "
+            "train AS (SELECT DISTINCT doc_id, sh FROM tri WHERE h > '0147') "
+            "SELECT t.doc_id, count(*) AS n_shared "
+            "FROM train t JOIN bench b USING (sh) GROUP BY t.doc_id"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -78,9 +78,9 @@ def test_batch_tokenization_matches_scalar_on_unicode():
     import pyarrow as pa
 
     from themis_search_engine_ray.pipelines.dedup import (
-        _hash64,
         _shingle_hashes_batch,
         _shingles,
+        shingle_hash_str,
         simhash64,
         simhash64_batch,
     )
@@ -99,18 +99,40 @@ def test_batch_tokenization_matches_scalar_on_unicode():
     # shingles: batch hash set == hash of the scalar string shingles
     d_idx, sh, n = _shingle_hashes_batch(col, 3)
     assert n == len(texts)
-    from themis_search_engine_ray.pipelines.dedup import _SHINGLE_B
-
-    def shingle_hash(s: str) -> int:
-        h = np.uint64(0)
-        for tok in s.split(" "):
-            h = h * _SHINGLE_B + np.uint64(_hash64(tok))
-        return int(h)
-
     for i, t in enumerate(texts):
         got = {int(h) for h in sh[d_idx == i]}
-        want = {shingle_hash(s) for s in _shingles(t, 3)}
+        want = {shingle_hash_str(s) for s in _shingles(t, 3)}
         assert got == want, t
+
+
+def test_decontaminate_matches_bruteforce():
+    """Broadcast-probe + exact-verify decontamination equals the
+    brute-force string-shingle intersection, doc for doc."""
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.decontaminate import (
+        _is_benchmark,
+        decontaminate,
+    )
+    from themis_search_engine_ray.pipelines.dedup import _shingles
+
+    thr, k = "1999", 3  # ~10%: guarantees a non-empty benchmark at sf0.001
+    tab = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()))
+    bench = set()
+    for d, t in docs:
+        if _is_benchmark(d, thr):
+            bench |= _shingles(t, k)
+    assert bench
+    want = {}
+    for d, t in docs:
+        if _is_benchmark(d, thr):
+            continue
+        n = len(_shingles(t, k) & bench)
+        if n:
+            want[d] = n
+    got = decontaminate(SF, threshold_hex=thr, k=k).to_pandas()
+    assert dict(zip(got["doc_id"], got["n_shared"])) == want
 
 
 def test_exact_dedup_counts():

@@ -74,6 +74,37 @@ def test_gather_ranges_equivalence():
     assert gather_ranges(data, np.array([]), np.array([])).size == 0
 
 
+def test_latest_n_per_user_matches_pandas():
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.sampling import latest_n_per_user
+
+    n = 3
+    got = (
+        latest_n_per_user(SF, n=n)
+        .to_pandas()
+        .sort_values(["user_id", "rn"])
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_id", "ts"]
+    ).to_pandas()
+    ev["tus"] = ev["ts"].astype("int64")
+    ev = ev.sort_values(
+        ["user_id", "tus", "event_id"], ascending=[True, False, False]
+    )
+    ev["rn"] = ev.groupby("user_id").cumcount()
+    want = ev[ev["rn"] < n].copy()
+    want["ts_s"] = want["tus"] // 1_000_000
+    want = want[["user_id", "event_id", "ts_s", "rn"]].reset_index(drop=True)
+    assert got["rn"].max() < n
+    assert (
+        got[["user_id", "event_id", "ts_s", "rn"]]
+        .astype("int64")
+        .equals(want.astype("int64"))
+    )
+
+
 def test_group_quantiles_hist_bound(ray_session):
     """Histogram-sketch quantiles within ONE bin-width of the exact
     quantile_cont values, per group and quantile."""

@@ -1,0 +1,127 @@
+"""Train/test decontamination (n-gram overlap against a held-out set).
+
+The standard large-scale training-data hygiene pass: flag every
+training document that shares at least one word k-gram with a
+benchmark/eval split, so it can be dropped before training. The shape
+that works at 100 TB:
+
+* the benchmark side is SMALL (an eval set) — collect its distinct
+  k-gram shingles once and **broadcast** them (``ray.put``, read in
+  every task), never shuffle them;
+* the training side streams through one ``map_batches`` pass: whole-
+  batch vectorized shingle hashing (the same
+  :func:`..pipelines.dedup._shingle_hashes_batch` machinery the dedup
+  family uses), an ``np.isin`` probe against the broadcast hash set,
+  then an exact string-shingle verification of the FEW candidate docs
+  (hash hits are verified, so a 64-bit collision can never flag a
+  clean document — output is exact by construction);
+* zero shuffle, zero driver materialization of the training side.
+
+The held-out split is derived deterministically from the corpus with
+the same content-hash rule :func:`..pipelines.sampling.stratified_sample`
+uses (``md5(doc_id)[:4] <= threshold_hex``), so the DuckDB oracle can
+re-derive both sides and the exact shared-shingle counts in SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _shingle_hashes_batch, _shingles
+
+
+def _is_benchmark(doc_id: int, threshold_hex: str) -> bool:
+    return hashlib.md5(str(doc_id).encode()).hexdigest()[:4] <= threshold_hex
+
+
+def benchmark_shingles(
+    sf_dir: str, threshold_hex: str, k: int
+) -> tuple[set[str], np.ndarray]:
+    """Distinct shingle strings (+ sorted 64-bit hashes) of the held-out
+    split. Driver memory is bounded by the benchmark split's size — an
+    eval set, small by definition (documented contract; for a large
+    split, swap the set for a Bloom filter and keep the verify pass)."""
+    import ray.data as rd
+
+    from .dedup import shingle_hash_str
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = np.asarray(
+            [_is_benchmark(int(i), threshold_hex) for i in ids], bool
+        )
+        sub = batch.filter(pa.array(keep))
+        shingles = sorted(
+            {s for t in sub["text"].to_pylist() for s in _shingles(t, k)}
+        )
+        return pa.Table.from_pydict({"sh": pa.array(shingles, pa.string())})
+
+    shs = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(bench_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["sh"]
+    )
+    sh_set = set(shs)
+    hashes = np.sort(
+        np.fromiter((shingle_hash_str(s) for s in sh_set), np.uint64, len(sh_set))
+    )
+    return sh_set, hashes
+
+
+def decontaminate(sf_dir: str, threshold_hex: str = "0147", k: int = 3):
+    """(doc_id, n_shared) for every TRAINING doc (not in the held-out
+    split) sharing ≥1 word ``k``-gram with the split; ``n_shared`` =
+    number of its distinct shingles that appear in the split."""
+    import ray
+    import ray.data as rd
+
+    sh_set, sh_hashes = benchmark_shingles(sf_dir, threshold_hex, k)
+    bench_ref = ray.put((sh_set, sh_hashes))
+
+    empty = pa.Table.from_pydict({"doc_id": [], "n_shared": []}).cast(
+        pa.schema([("doc_id", pa.int64()), ("n_shared", pa.int64())])
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bset, bhash = ray.get(bench_ref)
+        ids = batch["doc_id"].to_numpy()
+        train = np.asarray(
+            [not _is_benchmark(int(i), threshold_hex) for i in ids], bool
+        )
+        sub = batch.filter(pa.array(train))
+        if sub.num_rows == 0 or bhash.size == 0:
+            return empty
+        d_idx, sh, _ = _shingle_hashes_batch(sub["text"], k)
+        if sh.size == 0:
+            return empty
+        # vectorized candidate probe against the broadcast hash set
+        pos = np.searchsorted(bhash, sh)
+        in_range = pos < bhash.size
+        hit = np.zeros(sh.size, bool)
+        hit[in_range] = bhash[pos[in_range]] == sh[in_range]
+        cand = np.unique(d_idx[hit])
+        if cand.size == 0:
+            return empty
+        # exact string verification of candidate docs only (collisions
+        # can only ADD candidates; they are removed here)
+        texts = sub["text"].take(pa.array(cand)).to_pylist()
+        out_ids, out_n = [], []
+        sub_ids = sub["doc_id"].to_numpy()
+        for ci, t in zip(cand, texts):
+            n = len(_shingles(t, k) & bset)
+            if n:
+                out_ids.append(int(sub_ids[ci]))
+                out_n.append(n)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_shared": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

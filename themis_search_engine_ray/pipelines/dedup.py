@@ -82,6 +82,18 @@ _TOKEN_HASH_CACHE_MAX = 1 << 20
 _SHINGLE_B = np.uint64(1099511628211)  # FNV prime as the rolling base
 
 
+def shingle_hash_str(s: str) -> int:
+    """The 64-bit hash :func:`_shingle_hashes_batch` assigns to the
+    shingle whose string form is ``s`` (tokens joined by single
+    spaces): the same rolling polynomial over per-token hashes,
+    computed from the string side. Lets a small string-shingle set
+    (e.g. a broadcast benchmark set) be probed against batch hashes."""
+    h = np.uint64(0)
+    for tok in s.split(" "):
+        h = h * _SHINGLE_B + np.uint64(_token_hash_cached(tok))
+    return int(h)
+
+
 def _token_hash_cached(tok: str) -> int:
     h = _TOKEN_HASH_CACHE.get(tok)
     if h is None:

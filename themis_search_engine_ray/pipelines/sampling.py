@@ -89,6 +89,65 @@ def group_quantiles(sf_dir: str):
     )
 
 
+def latest_n_per_user(sf_dir: str, n: int = 5):
+    """Per-group example capping — keep each user's latest ``n`` events
+    (the standard "at most N examples per source/user" training-data
+    rule). Returns (user_id, event_id, ts_s, rn), rn = 0 for the
+    newest; ties on ts broken by event_id desc.
+
+    Scale shape: rows shuffle into ~64 COARSE shards by user hash (one
+    vectorized Python call per shard, not per user — the same pattern
+    as the dedup candidate emission); inside a shard one lexsort by
+    (user, ts desc, id desc) and a run-relative ``arange`` give every
+    row its per-user rank with no per-group loop. A user's rows always
+    land in one shard, so correctness is shard-count independent.
+    """
+    import ray.data as rd
+
+    _NS = 64
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        return pa.Table.from_pydict(
+            {
+                "shard": (uid % _NS).astype(np.int32),
+                "user_id": uid,
+                "event_id": batch["event_id"].to_numpy(),
+                "tus": batch["ts"].cast(pa.int64()).to_numpy(),
+            }
+        )
+
+    def rank_shard(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        tus = group["tus"].to_numpy()
+        order = np.lexsort((-eid, -tus, uid))
+        uid, eid, tus = uid[order], eid[order], tus[order]
+        new = np.ones(uid.size, bool)
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, uid.size))
+        rn = np.arange(uid.size) - np.repeat(starts, counts)
+        keep = rn < n
+        return pa.Table.from_pydict(
+            {
+                "user_id": uid[keep],
+                "event_id": eid[keep],
+                "ts_s": tus[keep] // 1_000_000,
+                "rn": rn[keep].astype(np.int64),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+        )
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(rank_shard, batch_format="pyarrow")
+    )
+
+
 def group_quantiles_hist(sf_dir: str, bins: int = 2048):
     """Approximate per-group quantiles with a PROVABLE value bound —
     the mergeable-sketch swap :func:`group_quantiles` documents for
