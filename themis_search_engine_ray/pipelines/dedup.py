@@ -191,11 +191,17 @@ def _pair_indices(n: int, max_clique: int = _MAX_CLIQUE):
 _PAIR_SHARDS = 64
 
 
-def _emit_pairs_sharded(rows, key_cols: list[str], n_shards: int = _PAIR_SHARDS):
+def _emit_pairs_sharded(
+    rows, key_cols: list[str], n_shards: int = _PAIR_SHARDS, dedupe: bool = True
+):
     """rows: Dataset with ``doc_id`` + ``key_cols`` (int-typed), one row
-    per (doc, key). Returns the deduped candidate (a, b) Dataset: docs
-    sharing an exact key value, star-capped per bucket
-    (:func:`_pair_indices`), a < b."""
+    per (doc, key). Returns the candidate (a, b) Dataset: docs sharing
+    an exact key value, star-capped per bucket (:func:`_pair_indices`),
+    a < b. ``dedupe=False`` skips the global ``groupby(a, b)``
+    dedup shuffle — pairs found via multiple keys/bands then appear
+    multiple times; pass it when the consumer dedupes anyway (the scan
+    verifier materializes candidates driver-side and dedupes for free,
+    saving one all-to-all per dedup pipeline)."""
 
     def add_shard(batch: pa.Table) -> pa.Table:
         acc = np.zeros(len(batch), np.uint64)
@@ -248,13 +254,31 @@ def _emit_pairs_sharded(rows, key_cols: list[str], n_shards: int = _PAIR_SHARDS)
             {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         )
 
-    return (
+    out = (
         rows.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("shard")
         .map_groups(emit, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()  # dedupe candidates found via multiple keys/bands
     )
+    if dedupe:
+        # dedupe candidates found via multiple keys/bands
+        out = out.groupby(["a", "b"]).count()
+    return out
+
+
+def _minhash_vals(x: np.ndarray) -> np.ndarray:
+    """(P, m) permutation values for minhash: ``A·x + B`` folded mod the
+    Mersenne prime 2^61-1. The multiply wraps mod 2^64 (numpy uint64
+    semantics); two shift-add folds stand in for ``%`` — the uint64
+    modulo costs a hardware divide per element (measured ~175 ns/elem,
+    i.e. the entire band_rows budget at large batches), the folds are
+    ~10x cheaper and preserve the family's hash quality (min is taken
+    over the full value, candidates remain exact-verified)."""
+    P = np.uint64(_MERSENNE)
+    t = _MH_A[:, None] * x[None, :]
+    t += _MH_B[:, None]
+    v = (t & P) + (t >> np.uint64(61))
+    v = (v & P) + (v >> np.uint64(61))
+    return v
 
 
 def minhash_signature(sh_hashes: np.ndarray) -> np.ndarray:
@@ -262,9 +286,7 @@ def minhash_signature(sh_hashes: np.ndarray) -> np.ndarray:
     if sh_hashes.size == 0:
         return np.full(_N_PERM, np.uint64(_MERSENNE), dtype=np.uint64)
     x = sh_hashes.astype(np.uint64) % np.uint64(_MERSENNE)
-    # (P, m): (a*x + b) mod p, then min over shingles
-    vals = (_MH_A[:, None] * x[None, :] + _MH_B[:, None]) % np.uint64(_MERSENNE)
-    return vals.min(axis=1)
+    return _minhash_vals(x).min(axis=1)
 
 
 # ---------------------------------------------------------------- exact
@@ -325,6 +347,7 @@ def ngram_jaccard_pairs(
     candidates = _emit_pairs_sharded(
         ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True),
         ["sh"],
+        dedupe=False,  # the verifier dedupes (scan: driver-side for free)
     )
     return _verify_jaccard_pairs(ds, candidates, threshold, k, verify)
 
@@ -360,11 +383,17 @@ _VERIFY_SCAN_MAX_PAIRS = 2_000_000
 def _verify_jaccard_pairs(ds, candidates, threshold: float, k: int, verify: str):
     """Dispatch exact-Jaccard verification of candidate (a, b) pairs.
 
-    ``"auto"`` (the documented scale default): count the candidates and
-    use the driver-bounded ``"scan"`` below ``_VERIFY_SCAN_MAX_PAIRS``,
-    the fully distributed ``"join"`` above it. All modes produce
-    identical pairs (tests/test_degenerate.py asserts scan == join on
-    the sf corpus)."""
+    ``candidates`` may contain DUPLICATE pairs (the emitters skip the
+    global dedup shuffle, ``_emit_pairs_sharded(dedupe=False)``): the
+    scan path dedupes driver-side for free while collecting the pairs;
+    the join/broadcast paths restore the distributed ``groupby(a, b)``
+    dedup first. ``"auto"`` (the documented scale default): count the
+    candidates and use the driver-bounded ``"scan"`` below
+    ``_VERIFY_SCAN_MAX_PAIRS``, the fully distributed ``"join"`` above
+    it (the duplicate-inflated count only biases the choice toward the
+    distributed path — conservative). All modes produce identical
+    pairs (tests/test_degenerate.py asserts scan == join on the sf
+    corpus)."""
     if verify == "auto":
         candidates = candidates.select_columns(["a", "b"]).materialize()
         verify = (
@@ -372,6 +401,7 @@ def _verify_jaccard_pairs(ds, candidates, threshold: float, k: int, verify: str)
         )
     if verify == "scan":
         return _scan_verify_jaccard(ds, candidates, threshold, k)
+    candidates = candidates.select_columns(["a", "b"]).groupby(["a", "b"]).count()
     if verify == "join":
         return _join_verify_jaccard(ds, candidates, threshold, k)
     if verify == "broadcast":
@@ -541,32 +571,50 @@ def _join_verify_jaccard(ds, candidates, threshold: float, k: int):
 def _scan_verify_jaccard(ds, candidates, threshold: float, k: int):
     """Exact-Jaccard verification of candidate (a, b) pairs.
 
-    Collect the candidate doc-id set (small — proportional to candidate
-    *pairs*, not corpus), ``ray.put`` it, rescan the corpus keeping only
-    candidate docs' shingle sets, broadcast those to the pair-verify
-    map. One extra column-pruned corpus scan, zero join shuffles; the
-    broadcast is the SMALL side both times. Shared by MinHash LSH
-    (verify="scan") and ngram_jaccard_pairs."""
+    Collect the candidate pairs (small — bounded by
+    ``_VERIFY_SCAN_MAX_PAIRS``), dedupe them driver-side (the emitters
+    skip the global dedup shuffle), ``ray.put`` the sorted candidate
+    doc-id array, rescan the corpus keeping only candidate docs'
+    shingle sets, broadcast those to the pair-verify map. One extra
+    column-pruned corpus scan, zero join shuffles; the broadcast is the
+    SMALL side both times. Shared by MinHash LSH (verify="scan") and
+    ngram_jaccard_pairs."""
     import ray
+    import ray.data as rd
 
     cand_tab = candidates.select_columns(["a", "b"]).materialize()
-    cand_ids: set[int] = set()
+    a_parts, b_parts = [], []
     for batch in cand_tab.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        cand_ids.update(batch["a"].to_pylist())
-        cand_ids.update(batch["b"].to_pylist())
-    ids_ref = ray.put(cand_ids)
+        a_parts.append(batch["a"].to_numpy())
+        b_parts.append(batch["b"].to_numpy())
+    if a_parts:
+        pairs = np.unique(
+            np.stack(
+                [np.concatenate(a_parts), np.concatenate(b_parts)], axis=1
+            ),
+            axis=0,
+        )
+    else:
+        pairs = np.empty((0, 2), np.int64)
+    want = np.unique(pairs)  # sorted unique candidate doc ids
+    ids_ref = ray.put(want)
 
     def cand_shingles(batch: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
-        ids, sets = [], []
-        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if did in want:
-                ids.append(did)
-                sets.append("\x1f".join(sorted(_shingles(t, k))))
+        w = ray.get(ids_ref)
+        ids = batch["doc_id"].to_numpy()
+        pos = np.searchsorted(w, ids)
+        inr = pos < w.size
+        hit = np.zeros(ids.size, bool)
+        hit[inr] = w[pos[inr]] == ids[inr]
+        idxs = np.flatnonzero(hit)
+        texts = batch["text"].take(pa.array(idxs)).to_pylist()
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "sh_set": pa.array(sets, pa.string()),
+                "doc_id": pa.array(ids[idxs].astype(np.int64), pa.int64()),
+                "sh_set": pa.array(
+                    ["\x1f".join(sorted(_shingles(t, k))) for t in texts],
+                    pa.string(),
+                ),
             }
         )
 
@@ -585,7 +633,10 @@ def _scan_verify_jaccard(ds, candidates, threshold: float, k: int):
         b = batch["b"].to_pylist()
         return _jaccard_rows(a, b, [m[x] for x in a], [m[y] for y in b], threshold)
 
-    return cand_tab.map_batches(verify_scan, batch_format="pyarrow")
+    pair_ds = rd.from_arrow(
+        pa.table({"a": pairs[:, 0], "b": pairs[:, 1]})
+    ).repartition(_PAIR_SHARDS)
+    return pair_ds.map_batches(verify_scan, batch_format="pyarrow")
 
 
 # --------------------------------------------------------- MinHash LSH
@@ -638,9 +689,7 @@ def minhash_pairs_ds(
         sigs = np.full((n, _N_PERM), np.uint64(_MERSENNE), np.uint64)
         if sh.size:
             x = sh % np.uint64(_MERSENNE)
-            vals = (_MH_A[:, None] * x[None, :] + _MH_B[:, None]) % np.uint64(
-                _MERSENNE
-            )  # (P, m)
+            vals = _minhash_vals(x)  # (P, m)
             counts = np.bincount(d_idx, minlength=n)
             nonempty = np.flatnonzero(counts > 0)
             starts = np.concatenate(([0], np.cumsum(counts)))[nonempty]
@@ -660,8 +709,17 @@ def minhash_pairs_ds(
 
     sig_keys = [f"sig{r}" for r in range(_ROWS_PER_BAND)]
     candidates = _emit_pairs_sharded(
-        ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True),
+        # batch_size bounds the (64 × shingles) permutation matrix to
+        # ~tens of MB per task: large batches allocate 100MB+ temporaries
+        # whose page faults dominate the kernel on fault-bound hosts
+        ds.map_batches(
+            band_rows,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+        ),
         ["band", *sig_keys],
+        dedupe=False,  # the verifier dedupes (scan: driver-side for free)
     )
     return _verify_jaccard_pairs(ds, candidates, threshold, k, verify)
 
