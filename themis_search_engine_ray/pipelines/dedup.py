@@ -1158,20 +1158,37 @@ def embedding_dup_pairs_lsh(
             batch_format="pyarrow",
         ),
         ["band", "bucket"],
+        dedupe=False,  # deduped driver-side below, with the id pull
     )
 
-    # verify: broadcast only the CANDIDATE vectors (small side)
+    # verify: broadcast only the CANDIDATE vectors (small side); pairs
+    # found via multiple bands are deduped here (np.unique) instead of
+    # a dedicated groupby(a, b) shuffle
     cand_tab = candidates.select_columns(["a", "b"]).materialize()
-    cand_ids: set[int] = set()
+    a_parts, b_parts = [], []
     for batch in cand_tab.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        cand_ids.update(batch["a"].to_pylist())
-        cand_ids.update(batch["b"].to_pylist())
-    ids_ref = ray.put(cand_ids)
+        a_parts.append(batch["a"].to_numpy())
+        b_parts.append(batch["b"].to_numpy())
+    if a_parts:
+        pairs = np.unique(
+            np.stack([np.concatenate(a_parts), np.concatenate(b_parts)], axis=1),
+            axis=0,
+        )
+    else:
+        pairs = np.empty((0, 2), np.int64)
+    cand_tab = rd.from_arrow(
+        pa.table({"a": pairs[:, 0], "b": pairs[:, 1]})
+    ).repartition(_PAIR_SHARDS)
+    cand_id_arr = np.unique(pairs)
+    ids_ref = ray.put(cand_id_arr)
 
     def cand_vecs(batch: pa.Table) -> pa.Table:
         want = ray.get(ids_ref)
         ids, mat = _embedding_matrix(batch)
-        keep = np.asarray([i in want for i in ids.tolist()], bool)
+        pos = np.searchsorted(want, ids)
+        inr = pos < want.size
+        keep = np.zeros(ids.size, bool)
+        keep[inr] = want[pos[inr]] == ids[inr]
         return pa.Table.from_pydict(
             {
                 "vec_id": ids[keep],
