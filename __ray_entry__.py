@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": fulltext.phrase_topk,
         "phrase_topk_nostem": fulltext.phrase_topk_nostem,
         "eval_metrics": _eval_metrics,
+        # IR metric math on NON-trivial inputs, value-exact vs SQL:
+        # BM25 ranking judged by the VSM ranking (both rounded)
+        "eval_metrics_nostem": fulltext.eval_metrics_nostem,
         # ---- dedup family ----
         "dedup_exact": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -670,7 +673,52 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_topk_nostem"] = _topk_wrap(out["bm25_all_nostem"])
     out["vsm_topk_nostem"] = _topk_wrap(out["vsm_all_nostem"])
     out["phrase_topk_nostem"] = _topk_wrap(out["phrase_all_nostem"])
+    out["eval_metrics_nostem"] = _eval_metrics_sql(
+        _topk_wrap(out["bm25_all_nostem"], 10),
+        _topk_wrap(out["vsm_all_nostem"], 6),
+    )
     return out
+
+
+def _eval_metrics_sql(bm_sql: str, vs_sql: str, k_rel: int = 3) -> str:
+    """themisEval's AP + binary-nDCG quirks in SQL over the two proven
+    rounded rankings (answers = BM25 top-10, judgments = VSM top-6 with
+    the first 3 relevant). Quirk mapping: AP/nDCG counters advance only
+    on JUDGED answers (the join keeps judged rows only; row_number = the
+    counter); nDCG gains use the judged-rank counter and the walk BREAKS
+    after the rel=1 row whose counter equals `related` (rows past
+    min(brk) are excluded); AP = sum(found/counter over rel=1)/found,
+    NaN when nothing relevant was retrieved (Java 0.0/0.0)."""
+    return (
+        f'WITH bmr AS (SELECT qid, conv_id, turn_idx, "rank" FROM ({bm_sql})), '
+        f'vsr AS (SELECT qid, conv_id, turn_idx, "rank" FROM ({vs_sql})), '
+        f'j AS (SELECT qid, conv_id, turn_idx, '
+        f'CASE WHEN "rank" < {k_rel} THEN 1 ELSE 0 END AS rel FROM vsr), '
+        "rel_tot AS (SELECT qid, sum(rel) AS related FROM j GROUP BY qid), "
+        'joined AS (SELECT b.qid, b."rank" AS rnk, j.rel FROM bmr b '
+        "JOIN j ON b.qid = j.qid AND b.conv_id = j.conv_id AND b.turn_idx = j.turn_idx), "
+        "w AS (SELECT qid, rnk, rel, "
+        "row_number() OVER (PARTITION BY qid ORDER BY rnk) AS cnt, "
+        "sum(rel) OVER (PARTITION BY qid ORDER BY rnk) AS found FROM joined), "
+        "qids AS (SELECT DISTINCT qid FROM bmr), "
+        "ap AS (SELECT qid, CASE WHEN sum(rel) = 0 THEN CAST('NaN' AS DOUBLE) "
+        "ELSE sum(CASE WHEN rel = 1 THEN CAST(found AS DOUBLE) / cnt END) / sum(rel) "
+        "END AS ap FROM w GROUP BY qid), "
+        "brk AS (SELECT w.qid, min(rnk) AS brk FROM w JOIN rel_tot r ON r.qid = w.qid "
+        "WHERE w.rel = 1 AND w.cnt = r.related GROUP BY w.qid), "
+        "dcg AS (SELECT w.qid, sum(CASE WHEN w.rel = 1 AND (b.brk IS NULL OR w.rnk <= b.brk) "
+        "THEN 1.0 / (ln(CAST(w.cnt AS DOUBLE) + 1) / ln(2)) END) AS dcg "
+        "FROM w LEFT JOIN brk b ON b.qid = w.qid GROUP BY w.qid), "
+        "idcg AS (SELECT qid, sum(1.0 / (ln(CAST(x AS DOUBLE) + 2) / ln(2))) AS idcg "
+        "FROM (SELECT qid, unnest(range(0, CAST(related AS BIGINT))) AS x "
+        "FROM rel_tot WHERE related > 0) GROUP BY qid) "
+        "SELECT q.qid, "
+        "round(coalesce(a.ap, CAST('NaN' AS DOUBLE)), 6) AS ap, "
+        "round(CASE WHEN i.idcg IS NULL THEN CAST('NaN' AS DOUBLE) "
+        "ELSE coalesce(d.dcg, 0.0) / i.idcg END, 6) AS ndcg "
+        "FROM qids q LEFT JOIN ap a ON a.qid = q.qid "
+        "LEFT JOIN dcg d ON d.qid = q.qid LEFT JOIN idcg i ON i.qid = q.qid"
+    )
 
 
 def _topk_wrap(base_sql: str, k: int = 10) -> str:

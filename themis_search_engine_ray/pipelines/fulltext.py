@@ -324,6 +324,52 @@ def vsm_topk_nostem(sf_dir: str, k: int = 10):
     return _topk_rounded(df.drop(columns=["rank"]), k)
 
 
+def eval_metrics_nostem(
+    sf_dir: str, k_answers: int = 10, k_rel: int = 3, k_judged: int = 6
+):
+    """SQL-checkable IR-metric pipeline: the BM25 rounded-score top-k
+    ranking evaluated against judgments derived from the VSM rounded
+    ranking (top ``k_rel`` relevant, next ``k_judged - k_rel`` judged
+    irrelevant — exercising AP's skip-unjudged counter and nDCG's
+    judged-rank gains + break quirk on NON-trivial inputs, unlike
+    ``eval_metrics`` whose self-judgments make every score 1.0).
+    Both rankings are the deterministic rounded ones the DuckDB oracle
+    provably shares, so (qid, ap, ndcg) is value-exact end to end.
+    Returns (qid, ap, ndcg) rounded to 6; AP is NaN when no relevant
+    doc was retrieved (the reference's 0/0, themisEval.java:116-150)."""
+    import pandas as pd
+
+    from .evaluation import average_precision, doc_id_str, ndcg
+
+    bm = bm25_topk_nostem(sf_dir, k=k_answers)
+    vs = vsm_topk_nostem(sf_dir, k=k_judged)
+    rows = []
+    for qid in sorted(bm["qid"].unique()):
+        bq = bm[bm["qid"] == qid].sort_values("rank")
+        answers = [
+            doc_id_str(c, t)
+            for c, t in zip(bq["conv_id"], bq["turn_idx"])
+        ]
+        vq = vs[vs["qid"] == qid]
+        judgments = {
+            doc_id_str(c, t): (1 if r < k_rel else 0)
+            for c, t, r in zip(vq["conv_id"], vq["turn_idx"], vq["rank"])
+        }
+        def r6(v: float) -> float:  # NaN passes through (Java 0.0/0.0)
+            import math
+
+            return v if math.isnan(v) else float(round_half_up(np.float64(v), 6))
+
+        rows.append(
+            {
+                "qid": int(qid),
+                "ap": r6(average_precision(answers, judgments)),
+                "ndcg": r6(ndcg(answers, judgments)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def existential_all(sf_dir: str):
     """Boolean OR candidates (Existential model), stemmer off — distinct
     (qid, conv_id, turn_idx) matching ≥1 query term, score 1.0."""
