@@ -226,12 +226,18 @@ def run_bench(build_only: bool = False) -> dict:
                 corpus, columns=["conv_id", "turn_idx", "text"]
             ).map_batches(to_doc, batch_format="pyarrow", zero_copy_batch=True)
 
-        t0 = time.time()
+        # Sample derivation (full-corpus scan + repartition + materialize)
+        # is bench scaffolding, timed separately so minhash_dedup_30k
+        # measures the dedup OPERATOR. (Rounds 1-2 folded prep into the
+        # dedup number — noted in BASELINE.md for cross-round reads.)
         # materialize: minhash_pairs_ds executes its input more than once.
         # repartition: spread the sample so every core gets signature work.
+        t0 = time.time()
         docs_sample = (
             as_docs(min(n_turns, 30_000)).repartition(num_cpus * 2).materialize()
         )
+        timings["minhash_sample_prep"] = time.time() - t0
+        t0 = time.time()
         extras["minhash_pairs"] = int(
             minhash_pairs_ds(docs_sample, verify="scan").count()
         )
