@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- text analysis ----
         "token_counts": ta.token_counts,
         "quality_scores": ta.quality_scores,
+        # within-doc duplicate k-gram fraction (Gopher-style filter)
+        "repetition_scores": ta.repetition_scores,
         "unigram_logprob": ta.unigram_logprob,
         "lang_id": ta.lang_id,
         "fingerprints": lambda sf: ta.fingerprints(sf).map_batches(
@@ -471,6 +473,24 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": (
             "SELECT doc_id, source, lang FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '1999'"
+        ),
+        "repetition_scores": (
+            "WITH raw AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ts "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, unnest(ts) AS tok, "
+            "generate_subscripts(ts, 1) AS ord FROM raw), "
+            "tri AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh "
+            "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1 "
+            "JOIN tok c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2), "
+            "tot AS (SELECT doc_id, greatest(len(ts) - 2, 0) AS n_kgrams FROM raw), "
+            "dis AS (SELECT doc_id, count(DISTINCT sh) AS n_distinct FROM tri GROUP BY doc_id) "
+            "SELECT t.doc_id, CAST(t.n_kgrams AS BIGINT) AS n_kgrams, "
+            "CAST(coalesce(d.n_distinct, 0) AS BIGINT) AS n_distinct_kgrams, "
+            "round(CASE WHEN t.n_kgrams = 0 THEN 0.0 "
+            "ELSE 1.0 - CAST(coalesce(d.n_distinct, 0) AS DOUBLE) / t.n_kgrams END, 6) "
+            "AS dup_kgram_frac "
+            "FROM tot t LEFT JOIN dis d USING (doc_id)"
         ),
         "latest_n_per_user": (
             "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events), "

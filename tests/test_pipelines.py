@@ -135,6 +135,32 @@ def test_decontaminate_matches_bruteforce():
     assert dict(zip(got["doc_id"], got["n_shared"])) == want
 
 
+def test_repetition_scores_match_bruteforce():
+    import re
+
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.functions.rounding import round_half_up
+    from themis_search_engine_ray.pipelines.text_analysis import repetition_scores
+
+    got = (
+        repetition_scores(SF)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    tab = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for d, t in zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()):
+        toks = re.findall(r"[a-z0-9]+", (t or "").lower())
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        assert got.loc[d, "n_kgrams"] == len(grams)
+        assert got.loc[d, "n_distinct_kgrams"] == len(set(grams))
+        want = (
+            round_half_up(1.0 - len(set(grams)) / len(grams), 6) if grams else 0.0
+        )
+        assert got.loc[d, "dup_kgram_frac"] == want
+
+
 def test_exact_dedup_counts():
     from themis_search_engine_ray.pipelines.dedup import exact_dedup
 

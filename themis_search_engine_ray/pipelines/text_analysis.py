@@ -318,3 +318,46 @@ def unigram_logprob(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_scores(sf_dir: str, k: int = 3):
+    """Within-document repetition (Gopher-style quality filter): per doc,
+    the total and DISTINCT word ``k``-gram counts and the duplicate
+    fraction ``1 - distinct/total`` (0 for docs too short to have a
+    k-gram). Highly repetitive machine-generated or boilerplate text
+    scores high and gets filtered before training.
+
+    One embarrassingly-parallel ``map_batches`` pass, no shuffle:
+    distinct k-grams come from the dedup family's vectorized per-doc
+    shingle hashing (:func:`..pipelines.dedup._shingle_hashes_batch`;
+    a 64-bit collision inside one document undercounts distinct with
+    probability ~(kgrams²)/2⁶⁵ — negligible), totals from the per-doc
+    token counts. Tokenization = ``[a-z0-9]+`` runs of the lowered text
+    (the dedup/oracle convention). Rounded to 6 for the DuckDB oracle.
+    """
+    import ray.data as rd
+
+    from .dedup import _shingle_hashes_batch, _token_hash_codes
+
+    def rep_batch(batch: pa.Table) -> pa.Table:
+        d_idx, _sh, n = _shingle_hashes_batch(batch["text"], k)
+        doc_of, _th, _n = _token_hash_codes(batch["text"])
+        n_tok = np.bincount(doc_of, minlength=n).astype(np.int64)
+        total = np.maximum(n_tok - (k - 1), 0)
+        distinct = np.bincount(d_idx, minlength=n).astype(np.int64)
+        frac = np.zeros(n, np.float64)
+        m = total > 0
+        frac[m] = round_half_up(1.0 - distinct[m] / total[m], 6)
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array(total),
+                pa.array(distinct),
+                pa.array(frac),
+            ],
+            names=["doc_id", "n_kgrams", "n_distinct_kgrams", "dup_kgram_frac"],
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(rep_batch, batch_format="pyarrow", zero_copy_batch=True)
