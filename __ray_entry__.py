@@ -31,6 +31,7 @@ from themis_search_engine_ray.pipelines import (
     multimodal,
     relational,
     sampling,
+    shuffle,
     similarity,
     sketches,
     windows,
@@ -111,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_terms_hll": sketches.distinct_terms_hll,
         # ---- deterministic sampling + distribution summaries ----
         "stratified_sample": sampling.stratified_sample,
+        # deterministic resumable corpus shuffle (assignment surface;
+        # the sharded export + global order are pytest-covered)
+        "shuffle_manifest": shuffle.shuffle_manifest,
         # per-group example capping (latest-N-per-user)
         "latest_n_per_user": sampling.latest_n_per_user,
         "group_quantiles": sampling.group_quantiles,
@@ -491,6 +495,14 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 1.0 - CAST(coalesce(d.n_distinct, 0) AS DOUBLE) / t.n_kgrams END, 6) "
             "AS dup_kgram_frac "
             "FROM tot t LEFT JOIN dis d USING (doc_id)"
+        ),
+        "shuffle_manifest": (
+            "WITH k AS (SELECT doc_id, "
+            "md5(CAST(doc_id AS VARCHAR) || ':0') AS shuffle_key FROM documents) "
+            "SELECT doc_id, shuffle_key, "
+            "CAST(((instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16 "
+            "+ (instr('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1)) "
+            "* 16 // 256 AS BIGINT) AS shard FROM k"
         ),
         "latest_n_per_user": (
             "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events), "

@@ -1,0 +1,82 @@
+"""Deterministic resumable corpus shuffle (pipelines/shuffle.py)."""
+
+import hashlib
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _want_order(seed=0):
+    tab = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = tab["doc_id"].to_pylist()
+    return sorted(
+        ids, key=lambda i: hashlib.md5(f"{i}:{seed}".encode()).hexdigest()
+    )
+
+
+def _read_global_order(out_dir):
+    order = []
+    for f in sorted(os.listdir(out_dir)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(out_dir, f), columns=["doc_id"])
+            order.extend(t["doc_id"].to_pylist())
+    return order
+
+
+def test_shuffle_export_global_order_and_resume(tmp_path):
+    from themis_search_engine_ray.pipelines.shuffle import shuffle_export
+
+    out = str(tmp_path / "shuf")
+    r1 = shuffle_export(SF, out, seed=0, num_shards=16)
+    assert r1["rows"] == 500
+    assert r1["shards_written"] + r1["shards_skipped"] >= 1
+    # reading shards 0..N-1 in order IS the md5-sorted global shuffle
+    assert _read_global_order(out) == _want_order()
+
+    # drop two shards; resume rewrites ONLY them, byte-identical order
+    sizes_before = {
+        f: os.path.getsize(os.path.join(out, f)) for f in os.listdir(out)
+    }
+    for victim in ("shard-00003.parquet", "shard-00009.parquet"):
+        os.unlink(os.path.join(out, victim))
+    r2 = shuffle_export(SF, out, seed=0, num_shards=16)
+    assert r2["shards_skipped"] == 14
+    assert r2["rows"] == 500
+    assert _read_global_order(out) == _want_order()
+    for f, sz in sizes_before.items():
+        assert os.path.getsize(os.path.join(out, f)) == sz
+
+    # a different seed produces a different (still deterministic) order
+    out2 = str(tmp_path / "shuf2")
+    shuffle_export(SF, out2, seed=7, num_shards=16)
+    assert _read_global_order(out2) == _want_order(seed=7)
+    assert _read_global_order(out2) != _want_order(seed=0)
+
+
+def test_shuffle_manifest_matches_export(tmp_path):
+    from themis_search_engine_ray.pipelines.shuffle import (
+        shuffle_export,
+        shuffle_manifest,
+    )
+
+    man = shuffle_manifest(SF, seed=0, num_shards=16).to_pandas()
+    assert len(man) == 500
+    assert man["shard"].between(0, 15).all()
+    out = str(tmp_path / "shuf")
+    shuffle_export(SF, out, seed=0, num_shards=16)
+    for s, grp in man.groupby("shard"):
+        t = pq.read_table(
+            os.path.join(out, f"shard-{int(s):05d}.parquet"),
+            columns=["doc_id", "shuffle_key"],
+        )
+        assert sorted(t["doc_id"].to_pylist()) == sorted(grp["doc_id"])
+        keys = t["shuffle_key"].to_pylist()
+        assert keys == sorted(keys)  # intra-shard sorted by key
