@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic resumable corpus shuffle (assignment surface;
         # the sharded export + global order are pytest-covered)
         "shuffle_manifest": shuffle.shuffle_manifest,
+        # sequence-packing offsets over the shuffled order (distributed
+        # prefix scan: shard cumsums + a 16-row driver exclusive scan)
+        "pack_offsets": shuffle.pack_offsets,
         # per-group example capping (latest-N-per-user)
         "latest_n_per_user": sampling.latest_n_per_user,
         "group_quantiles": sampling.group_quantiles,
@@ -503,6 +506,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(((instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16 "
             "+ (instr('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1)) "
             "* 16 // 256 AS BIGINT) AS shard FROM k"
+        ),
+        "pack_offsets": (
+            "WITH k AS (SELECT doc_id, "
+            "md5(CAST(doc_id AS VARCHAR) || ':0') AS key, "
+            "CAST(len(list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_tokens FROM documents), "
+            "o AS (SELECT doc_id, n_tokens, "
+            "CAST(sum(n_tokens) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset FROM k) "
+            "SELECT doc_id, n_tokens, start_offset, "
+            "CAST(start_offset // 512 AS BIGINT) AS start_seq, "
+            "CAST((start_offset + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS end_seq "
+            "FROM o"
         ),
         "latest_n_per_user": (
             "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events), "

@@ -61,6 +61,32 @@ def test_shuffle_export_global_order_and_resume(tmp_path):
     assert _read_global_order(out2) != _want_order(seed=0)
 
 
+def test_pack_offsets_contiguous_stream():
+    """Offsets form one contiguous token stream in shuffle order:
+    sorted by start_offset, each doc starts exactly where the previous
+    ends, the order is the md5 shuffle order, and seq ids match the
+    seq_len cuts."""
+    import numpy as np
+
+    from themis_search_engine_ray.pipelines.shuffle import pack_offsets
+
+    df = (
+        pack_offsets(SF, seed=0, num_shards=16, seq_len=64)
+        .to_pandas()
+        .sort_values("start_offset")
+        .reset_index(drop=True)
+    )
+    assert len(df) == 500
+    starts = df["start_offset"].to_numpy()
+    toks = df["n_tokens"].to_numpy()
+    assert starts[0] == 0
+    assert (starts[1:] == starts[:-1] + toks[:-1]).all()
+    assert df["doc_id"].tolist() == _want_order()
+    assert (df["start_seq"].to_numpy() == starts // 64).all()
+    end_tok = starts + np.maximum(toks, 1) - 1
+    assert (df["end_seq"].to_numpy() == end_tok // 64).all()
+
+
 def test_shuffle_manifest_matches_export(tmp_path):
     from themis_search_engine_ray.pipelines.shuffle import (
         shuffle_export,

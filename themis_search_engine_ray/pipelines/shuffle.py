@@ -155,3 +155,98 @@ def shuffle_export(
         "rows": rows,
         "out_dir": out_dir,
     }
+
+
+def pack_offsets(sf_dir: str, seed: int = 0, num_shards: int = 16, seq_len: int = 512):
+    """Sequence-packing assignment (LLM-pretraining pack-and-split):
+    conceptually concatenate every document's tokens in the
+    deterministic shuffled order and cut the stream every ``seq_len``
+    tokens; report where each document lands. Returns per doc:
+    (doc_id, n_tokens, start_offset, start_seq, end_seq) — empty docs
+    get end_seq = start_seq.
+
+    Distributed as the classic PREFIX SCAN: token counts are computed
+    in the same single pass that assigns shuffle keys; per-shard token
+    totals (``num_shards`` tiny rows) come back to the driver for an
+    exclusive scan in shard order; each shard's group task then adds
+    its broadcast base to a vectorized intra-shard cumsum over the
+    key-sorted rows. Shard order concatenated = global shuffle order
+    (key-prefix ranges), so offsets are globally exact with one bounded
+    all-to-all and a 16-row driver step — no global sort, no sequential
+    pass over the corpus anywhere.
+
+    Tokenization = ``[a-z0-9]+`` runs of the lowered text (the
+    dedup/oracle convention), so the DuckDB oracle is one window
+    function over the same counts.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..stages.tokenize import token_codes_batch
+
+    def assign_counts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keys = [_shuffle_key(int(i), seed) for i in ids]
+        shards = np.asarray(
+            [int(k[:2], 16) * num_shards // _PREFIX_SPACE for k in keys],
+            np.int64,
+        )
+        uniq, codes, lens, n = token_codes_batch(
+            batch["text"], lower_first=True
+        )
+        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        if len(uniq):
+            n_tok = np.bincount(doc_of[real[codes]], minlength=n)
+        else:
+            n_tok = np.zeros(n, np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "shuffle_key": pa.array(keys, pa.string()),
+                "shard": shards,
+                "n_tokens": n_tok.astype(np.int64),
+            }
+        )
+
+    assigned = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(assign_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        assigned.groupby("shard")
+        .aggregate(Sum("n_tokens", alias_name="total"))
+        .to_pandas()  # <= num_shards rows
+        .set_index("shard")["total"]
+    )
+    bases = {}
+    acc = 0
+    for s in range(num_shards):  # exclusive scan in shard (= key) order
+        bases[s] = acc
+        acc += int(totals.get(s, 0))
+    bases_ref = ray.put(bases)
+
+    def emit(group: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        base = _ray.get(bases_ref)[int(group["shard"][0].as_py())]
+        order = pa.compute.sort_indices(group["shuffle_key"])
+        g = group.take(order)
+        n_tok = g["n_tokens"].to_numpy()
+        start = base + np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+        end_tok = start + np.maximum(n_tok, 1) - 1  # empty doc: start_seq
+        return pa.Table.from_pydict(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": n_tok,
+                "start_offset": start.astype(np.int64),
+                "start_seq": (start // seq_len).astype(np.int64),
+                "end_seq": (end_tok // seq_len).astype(np.int64),
+            }
+        )
+
+    return assigned.groupby("shard").map_groups(emit, batch_format="pyarrow")
