@@ -142,6 +142,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": lambda sf: multimodal.media_features(sf).select_columns(
             ["media_id", "media_type", "height", "width", "n_frames"]
         ),
+        # the typed media TABLE itself (synthesize_media ingest surface)
+        # is value-exact; only the pluggable decode stays rows-only
+        "media_manifest": lambda sf: multimodal.synthesize_media(sf).select_columns(
+            ["media_id", "media_type", "n_bytes", "checksum"]
+        ),
         # ---- query expansion (M10/M11; GloVe path uses a REAL
         # corpus-trained PPMI-SVD model — rows-only) ----
         "glove_expansion": _glove_expansion,
@@ -498,6 +503,14 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 1.0 - CAST(coalesce(d.n_distinct, 0) AS DOUBLE) / t.n_kgrams END, 6) "
             "AS dup_kgram_frac "
             "FROM tot t LEFT JOIN dis d USING (doc_id)"
+        ),
+        "media_manifest": (
+            "SELECT doc_id AS media_id, "
+            "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' "
+            "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, "
+            "CAST(3 * octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes, "
+            "md5(coalesce(text, '') || coalesce(text, '') || coalesce(text, '')) "
+            "AS checksum FROM documents"
         ),
         "shuffle_manifest": (
             "WITH k AS (SELECT doc_id, "
