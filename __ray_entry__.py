@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- similarity search ----
         "knn_brute": similarity.knn_brute,
         "ivf_knn": similarity.ivf_knn,
+        # nprobe = n_lists degenerates IVF to exact: a value-exact check
+        # of the whole IVF machinery (centroid fit, list assignment,
+        # probe scan, reduce) with only the pruning left rows-only
+        "ivf_knn_full": lambda sf: similarity.ivf_knn(sf, n_lists=8, nprobe=8),
         # ---- text analysis ----
         "token_counts": ta.token_counts,
         "quality_scores": ta.quality_scores,
@@ -724,16 +728,23 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "fingerprints": _fingerprints_sql(),
         "pagerank_dup_graph": _pagerank_sql(),
-        # term_df / bm25_topk / vsm_topk (Porter), eval_metrics (IR
-        # metrics over engine rankings), minhash/simhash (LSH),
-        # ivf_knn, embedding_dup_pairs_lsh, media_features:
-        # non-SQL-expressible → rows-only checks; exactness/recall is
-        # covered by pytest oracles.
+        # Remaining rows-only entries, each with a value-exact twin or a
+        # pytest bound: term_df / bm25_topk / vsm_topk / phrase_topk
+        # (Porter — *_nostem twins are value-exact), eval_metrics
+        # (self-judged; eval_metrics_nostem is the value-exact metric
+        # check), minhash/simhash/embedding_dup_pairs_lsh (LSH recall —
+        # pytest-bounded, outputs exact-verified), ivf_knn (pruning —
+        # ivf_knn_full is value-exact), distinct_terms_hll /
+        # group_quantiles_hist (approximate by construction,
+        # pytest-bounded), glove_expansion (trained model),
+        # media_features (stub codecs — media_manifest is value-exact).
     }
     # deterministic rounded-score top-k wrappers over the *_all bases
     out["bm25_topk_nostem"] = _topk_wrap(out["bm25_all_nostem"])
     out["vsm_topk_nostem"] = _topk_wrap(out["vsm_all_nostem"])
     out["phrase_topk_nostem"] = _topk_wrap(out["phrase_all_nostem"])
+    # IVF with every list probed == brute force: same oracle
+    out["ivf_knn_full"] = out["knn_brute"]
     out["eval_metrics_nostem"] = _eval_metrics_sql(
         _topk_wrap(out["bm25_all_nostem"], 10),
         _topk_wrap(out["vsm_all_nostem"], 6),
