@@ -23,6 +23,7 @@ from typing import Any
 
 from themis_search_engine_ray.functions.analyzer import STOPWORDS
 from themis_search_engine_ray.pipelines import (
+    curate,
     decontaminate,
     dedup,
     fulltext,
@@ -84,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # train/test decontamination: broadcast benchmark shingles,
         # one streaming pass, hash-probe + exact verify
         "decontaminate": decontaminate.decontaminate,
+        # the full curation composition (dedup + held-out + decontam +
+        # quality floor + shuffle key) — one tag pass, one groupby
+        "curate_corpus": curate.curate_corpus,
         # ---- iterative graph analytics (working replacement for the
         # reference's abandoned PageRank stub — rows-only) ----
         "pagerank_dup_graph": graph.pagerank_dup_graph,
@@ -745,11 +749,42 @@ def oracle_sql() -> dict[str, str]:
     out["phrase_topk_nostem"] = _topk_wrap(out["phrase_all_nostem"])
     # IVF with every list probed == brute force: same oracle
     out["ivf_knn_full"] = out["knn_brute"]
+    # the curation composition recombines its ingredients' proven SQL
+    out["curate_corpus"] = _curate_sql(
+        out["quality_scores"], out["decontaminate"]
+    )
     out["eval_metrics_nostem"] = _eval_metrics_sql(
         _topk_wrap(out["bm25_all_nostem"], 10),
         _topk_wrap(out["vsm_all_nostem"], 6),
     )
     return out
+
+
+def _curate_sql(
+    quality_sql: str,
+    decontam_sql: str,
+    quality_min: float = 0.70,
+    held_hex: str = "0147",
+) -> str:
+    """curate_corpus oracle: keep-min-per-text with the keepable flag
+    encoded into the min key (doc_id*2 + (1-keepable)), exactly the
+    engine's aggregate trick, over the quality/decontamination SQL."""
+    return (
+        f"WITH q AS (SELECT doc_id, quality_score FROM ({quality_sql})), "
+        f"cont AS (SELECT doc_id FROM ({decontam_sql})), "
+        "held AS (SELECT doc_id FROM documents "
+        f"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '{held_hex}'), "
+        "flags AS (SELECT d.doc_id, d.text, "
+        "CASE WHEN d.doc_id IN (SELECT doc_id FROM held) THEN 0 "
+        "WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 0 "
+        f"WHEN q.quality_score >= {quality_min} THEN 1 ELSE 0 END AS keepable "
+        "FROM documents d JOIN q USING (doc_id)), "
+        "kept AS (SELECT min(doc_id * 2 + (1 - keepable)) AS kk "
+        "FROM flags GROUP BY text) "
+        "SELECT CAST(kk // 2 AS BIGINT) AS doc_id, "
+        "md5(CAST(kk // 2 AS VARCHAR) || ':0') AS shuffle_key "
+        "FROM kept WHERE kk % 2 = 0"
+    )
 
 
 def _eval_metrics_sql(bm_sql: str, vs_sql: str, k_rel: int = 3) -> str:

@@ -161,6 +161,52 @@ def test_repetition_scores_match_bruteforce():
         assert got.loc[d, "dup_kgram_frac"] == want
 
 
+def test_curate_corpus_matches_bruteforce():
+    """The composed curation pipeline equals the scalar composition of
+    its ingredients (keep-min dedup, held-out drop, decontamination,
+    quality floor, shuffle key)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.curate import curate_corpus
+    from themis_search_engine_ray.pipelines.decontaminate import _is_benchmark
+    from themis_search_engine_ray.pipelines.dedup import _shingles
+    from themis_search_engine_ray.pipelines.shuffle import _shuffle_key
+    from themis_search_engine_ray.pipelines.text_analysis import quality_batch
+
+    held_hex, qmin, k = "1999", 0.70, 3
+    tab = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()))
+    quality = dict(
+        zip(
+            tab["doc_id"].to_pylist(),
+            quality_batch(tab)["quality_score"].to_numpy(),
+        )
+    )
+    bench = set()
+    for d, t in docs:
+        if _is_benchmark(d, held_hex):
+            bench |= _shingles(t, k)
+    by_text: dict[str, list] = {}
+    for d, t in docs:
+        by_text.setdefault(t or "", []).append(d)
+    want = {}
+    for t, ids in by_text.items():
+        d = min(ids)
+        if _is_benchmark(d, held_hex):
+            continue
+        if _shingles(t, k) & bench:
+            continue
+        if quality[d] < qmin:
+            continue
+        want[d] = _shuffle_key(d, 0)
+    got = curate_corpus(SF, quality_min=qmin, held_hex=held_hex, k=k).to_pandas()
+    assert dict(zip(got["doc_id"], got["shuffle_key"])) == want
+    assert 0 < len(want) < len(docs)  # the filters actually bite
+
+
 def test_exact_dedup_counts():
     from themis_search_engine_ray.pipelines.dedup import exact_dedup
 

@@ -1,0 +1,95 @@
+"""End-to-end corpus curation — the operators composed as one pipeline.
+
+``curate_corpus`` chains the individual training-data operators into
+the canonical curation pass a 100 TB pipeline runs before training:
+
+1. **exact dedup** — keep the min-doc_id copy of each distinct text;
+2. **held-out exclusion** — drop the hash-derived benchmark split
+   (the same ``md5(doc_id)[:4] <= hex`` rule the sampler uses);
+3. **decontamination** — drop docs sharing ≥1 word k-gram with the
+   held-out split (broadcast benchmark shingles, exact-verified);
+4. **quality floor** — drop docs whose composite quality score
+   (:func:`..pipelines.text_analysis.quality_batch`) is below the
+   threshold;
+5. **shuffle key** — the survivors get their deterministic training
+   order key (:mod:`..pipelines.shuffle`).
+
+Shape: ONE streaming tag pass (all per-row signals + the broadcast
+shingle probe) and ONE ``groupby(text_hash)`` shuffle. The keep-min +
+keepable decision rides the aggregate as an encoded key
+(``doc_id*2 + (1 - keepable)``: the group min IS the min doc_id's
+record, because any larger doc_id encodes strictly larger) so there is
+no per-group Python at all — ``aggregate(Min)`` only. doc_id must fit
+62 bits (documents ids do; the index build's 63-bit keys would use the
+map_groups fallback).
+
+Every ingredient is independently value-exact against DuckDB
+(dedup_exact / decontaminate / quality_scores / shuffle_manifest), and
+the composition itself is too — the oracle recombines the same SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .decontaminate import _is_benchmark, benchmark_shingles, shared_shingle_counts
+from .shuffle import _shuffle_key
+from .text_analysis import quality_batch
+
+
+def curate_corpus(
+    sf_dir: str,
+    quality_min: float = 0.70,
+    held_hex: str = "0147",
+    k: int = 3,
+    seed: int = 0,
+):
+    """(doc_id, shuffle_key) of the curated corpus: exact-deduped,
+    held-out split removed, decontaminated, quality-floored, in
+    deterministic shuffle order by key."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    bset, bhash = benchmark_shingles(sf_dir, held_hex, k)
+    ref = ray.put((bset, bhash))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        bset_, bhash_ = ray.get(ref)
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        th = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        held = np.asarray(
+            [_is_benchmark(int(i), held_hex) for i in ids], bool
+        )
+        shared = shared_shingle_counts(batch["text"], bset_, bhash_, k)
+        quality = quality_batch(batch)["quality_score"].to_numpy()
+        keepable = (~held) & (shared == 0) & (quality >= quality_min)
+        keyed = ids.astype(np.int64) * 2 + (1 - keepable.astype(np.int64))
+        return pa.Table.from_pydict(
+            {"text_hash": pa.array(th, pa.string()), "keyed": keyed}
+        )
+
+    kept = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_hash")
+        .aggregate(Min("keyed", alias_name="kk"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        kk = batch["kk"].to_numpy()
+        keep = kk % 2 == 0
+        ids = (kk[keep] // 2).astype(np.int64)
+        keys = [_shuffle_key(int(i), seed) for i in ids]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shuffle_key": pa.array(keys, pa.string()),
+            }
+        )
+
+    return kept.map_batches(finish, batch_format="pyarrow")

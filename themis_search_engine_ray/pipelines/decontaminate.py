@@ -71,6 +71,31 @@ def benchmark_shingles(
     return sh_set, hashes
 
 
+def shared_shingle_counts(
+    text_col, bench_set: set[str], bench_hashes: np.ndarray, k: int
+) -> np.ndarray:
+    """Per-row count of distinct shingles shared with the benchmark
+    set: vectorized hash probe against the sorted broadcast array,
+    exact string verification of the FEW candidate rows only (a 64-bit
+    collision can never inflate the count). Shared by
+    :func:`decontaminate` and the curation pipeline."""
+    d_idx, sh, n = _shingle_hashes_batch(text_col, k)
+    out = np.zeros(n, np.int64)
+    if sh.size == 0 or bench_hashes.size == 0:
+        return out
+    pos = np.searchsorted(bench_hashes, sh)
+    in_range = pos < bench_hashes.size
+    hit = np.zeros(sh.size, bool)
+    hit[in_range] = bench_hashes[pos[in_range]] == sh[in_range]
+    cand = np.unique(d_idx[hit])
+    if cand.size == 0:
+        return out
+    texts = text_col.take(pa.array(cand)).to_pylist()
+    for ci, t in zip(cand, texts):
+        out[ci] = len(_shingles(t, k) & bench_set)
+    return out
+
+
 def decontaminate(sf_dir: str, threshold_hex: str = "0147", k: int = 3):
     """(doc_id, n_shared) for every TRAINING doc (not in the held-out
     split) sharing ≥1 word ``k``-gram with the split; ``n_shared`` =
@@ -94,31 +119,16 @@ def decontaminate(sf_dir: str, threshold_hex: str = "0147", k: int = 3):
         sub = batch.filter(pa.array(train))
         if sub.num_rows == 0 or bhash.size == 0:
             return empty
-        d_idx, sh, _ = _shingle_hashes_batch(sub["text"], k)
-        if sh.size == 0:
+        shared = shared_shingle_counts(sub["text"], bset, bhash, k)
+        nz = np.flatnonzero(shared)
+        if nz.size == 0:
             return empty
-        # vectorized candidate probe against the broadcast hash set
-        pos = np.searchsorted(bhash, sh)
-        in_range = pos < bhash.size
-        hit = np.zeros(sh.size, bool)
-        hit[in_range] = bhash[pos[in_range]] == sh[in_range]
-        cand = np.unique(d_idx[hit])
-        if cand.size == 0:
-            return empty
-        # exact string verification of candidate docs only (collisions
-        # can only ADD candidates; they are removed here)
-        texts = sub["text"].take(pa.array(cand)).to_pylist()
-        out_ids, out_n = [], []
-        sub_ids = sub["doc_id"].to_numpy()
-        for ci, t in zip(cand, texts):
-            n = len(_shingles(t, k) & bset)
-            if n:
-                out_ids.append(int(sub_ids[ci]))
-                out_n.append(n)
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "n_shared": pa.array(out_n, pa.int64()),
+                "doc_id": pa.array(
+                    sub["doc_id"].to_numpy()[nz].astype(np.int64), pa.int64()
+                ),
+                "n_shared": pa.array(shared[nz], pa.int64()),
             }
         )
 
