@@ -60,6 +60,19 @@ def test_shuffle_export_global_order_and_resume(tmp_path):
     assert _read_global_order(out2) == _want_order(seed=7)
     assert _read_global_order(out2) != _want_order(seed=0)
 
+    # resuming with DIFFERENT parameters must refuse, not silently
+    # reuse the stale shards as if they were the requested shuffle
+    with pytest.raises(ValueError, match="refusing to resume"):
+        shuffle_export(SF, out, seed=7, num_shards=16)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        shuffle_export(SF, out, seed=0, num_shards=32)
+    # and an out_dir with parquet but no manifest is rejected too
+    out3 = str(tmp_path / "shuf3")
+    os.makedirs(out3)
+    open(os.path.join(out3, "stray.parquet"), "wb").close()
+    with pytest.raises(ValueError, match="no shuffle"):
+        shuffle_export(SF, out3, seed=0, num_shards=16)
+
 
 def test_pack_offsets_contiguous_stream():
     """Offsets form one contiguous token stream in shuffle order:

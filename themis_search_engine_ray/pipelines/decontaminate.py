@@ -79,15 +79,13 @@ def shared_shingle_counts(
     exact string verification of the FEW candidate rows only (a 64-bit
     collision can never inflate the count). Shared by
     :func:`decontaminate` and the curation pipeline."""
+    from .dedup import _in_sorted
+
     d_idx, sh, n = _shingle_hashes_batch(text_col, k)
     out = np.zeros(n, np.int64)
     if sh.size == 0 or bench_hashes.size == 0:
         return out
-    pos = np.searchsorted(bench_hashes, sh)
-    in_range = pos < bench_hashes.size
-    hit = np.zeros(sh.size, bool)
-    hit[in_range] = bench_hashes[pos[in_range]] == sh[in_range]
-    cand = np.unique(d_idx[hit])
+    cand = np.unique(d_idx[_in_sorted(bench_hashes, sh)])
     if cand.size == 0:
         return out
     texts = text_col.take(pa.array(cand)).to_pylist()

@@ -123,15 +123,25 @@ def _token_hash_codes(text_col):
     return doc_of, np.empty(0, np.uint64), n
 
 
-def _shingle_hashes_batch(text_col, k: int) -> tuple[np.ndarray, np.ndarray, int]:
+def _shingle_hashes_batch(
+    text_col, k: int, return_token_counts: bool = False
+):
     """Per-doc DEDUPED k-gram shingle hashes for a whole Arrow text
     column: returns (doc_idx, shingle_hash u64, n_docs), doc_idx
     ascending (shingle order within a doc unspecified — callers treat
-    them as sets)."""
+    them as sets). With ``return_token_counts=True`` a fourth element —
+    per-doc token counts — is appended, sparing callers that need both
+    a second full tokenize pass."""
     doc_of, th, n = _token_hash_codes(text_col)
+
+    def _ret(d, h):
+        if return_token_counts:
+            return d, h, n, np.bincount(doc_of, minlength=n).astype(np.int64)
+        return d, h, n
+
     m = th.size
     if m < k:
-        return np.empty(0, np.int64), np.empty(0, np.uint64), n
+        return _ret(np.empty(0, np.int64), np.empty(0, np.uint64))
     nw = m - k + 1
     h = np.zeros(nw, np.uint64)
     for j in range(k):
@@ -145,7 +155,7 @@ def _shingle_hashes_batch(text_col, k: int) -> tuple[np.ndarray, np.ndarray, int
     first = np.ones(d.size, bool)
     if d.size:
         first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
-    return d[first], h[first], n
+    return _ret(d[first], h[first])
 
 
 def _minhash_params(seed: int = 7):
@@ -263,6 +273,38 @@ def _emit_pairs_sharded(
         # dedupe candidates found via multiple keys/bands
         out = out.groupby(["a", "b"]).count()
     return out
+
+
+def _in_sorted(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``needles`` in the SORTED ``haystack``
+    (searchsorted probe — the shared idiom for broadcast-set filters)."""
+    out = np.zeros(needles.size, bool)
+    if haystack.size == 0 or needles.size == 0:
+        return out
+    pos = np.searchsorted(haystack, needles)
+    inr = pos < haystack.size
+    out[inr] = haystack[pos[inr]] == needles[inr]
+    return out
+
+
+def _collect_unique_pairs(candidates) -> np.ndarray:
+    """Materialize a candidate (a, b) Dataset to the driver as a
+    DEDUPED (n, 2) array. Each batch is uniqued BEFORE accumulating, so
+    driver memory is bounded by (unique pairs + one batch) even when
+    the emitters ship one copy per matching band/key
+    (``_emit_pairs_sharded(dedupe=False)``)."""
+    acc: np.ndarray | None = None
+    for batch in candidates.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        chunk = np.unique(
+            np.stack(
+                [batch["a"].to_numpy(), batch["b"].to_numpy()], axis=1
+            ),
+            axis=0,
+        )
+        acc = chunk if acc is None else np.unique(
+            np.concatenate([acc, chunk]), axis=0
+        )
+    return acc if acc is not None else np.empty((0, 2), np.int64)
 
 
 def _minhash_vals(x: np.ndarray) -> np.ndarray:
@@ -582,31 +624,14 @@ def _scan_verify_jaccard(ds, candidates, threshold: float, k: int):
     import ray
     import ray.data as rd
 
-    cand_tab = candidates.select_columns(["a", "b"]).materialize()
-    a_parts, b_parts = [], []
-    for batch in cand_tab.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        a_parts.append(batch["a"].to_numpy())
-        b_parts.append(batch["b"].to_numpy())
-    if a_parts:
-        pairs = np.unique(
-            np.stack(
-                [np.concatenate(a_parts), np.concatenate(b_parts)], axis=1
-            ),
-            axis=0,
-        )
-    else:
-        pairs = np.empty((0, 2), np.int64)
+    pairs = _collect_unique_pairs(candidates.select_columns(["a", "b"]))
     want = np.unique(pairs)  # sorted unique candidate doc ids
     ids_ref = ray.put(want)
 
     def cand_shingles(batch: pa.Table) -> pa.Table:
         w = ray.get(ids_ref)
         ids = batch["doc_id"].to_numpy()
-        pos = np.searchsorted(w, ids)
-        inr = pos < w.size
-        hit = np.zeros(ids.size, bool)
-        hit[inr] = w[pos[inr]] == ids[inr]
-        idxs = np.flatnonzero(hit)
+        idxs = np.flatnonzero(_in_sorted(w, ids))
         texts = batch["text"].take(pa.array(idxs)).to_pylist()
         return pa.Table.from_pydict(
             {
@@ -1162,20 +1187,10 @@ def embedding_dup_pairs_lsh(
     )
 
     # verify: broadcast only the CANDIDATE vectors (small side); pairs
-    # found via multiple bands are deduped here (np.unique) instead of
-    # a dedicated groupby(a, b) shuffle
-    cand_tab = candidates.select_columns(["a", "b"]).materialize()
-    a_parts, b_parts = [], []
-    for batch in cand_tab.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        a_parts.append(batch["a"].to_numpy())
-        b_parts.append(batch["b"].to_numpy())
-    if a_parts:
-        pairs = np.unique(
-            np.stack([np.concatenate(a_parts), np.concatenate(b_parts)], axis=1),
-            axis=0,
-        )
-    else:
-        pairs = np.empty((0, 2), np.int64)
+    # found via multiple bands are deduped per collected batch
+    # (_collect_unique_pairs) instead of a dedicated groupby(a, b)
+    # shuffle
+    pairs = _collect_unique_pairs(candidates.select_columns(["a", "b"]))
     cand_tab = rd.from_arrow(
         pa.table({"a": pairs[:, 0], "b": pairs[:, 1]})
     ).repartition(_PAIR_SHARDS)
@@ -1185,10 +1200,7 @@ def embedding_dup_pairs_lsh(
     def cand_vecs(batch: pa.Table) -> pa.Table:
         want = ray.get(ids_ref)
         ids, mat = _embedding_matrix(batch)
-        pos = np.searchsorted(want, ids)
-        inr = pos < want.size
-        keep = np.zeros(ids.size, bool)
-        keep[inr] = want[pos[inr]] == ids[inr]
+        keep = _in_sorted(want, ids)
         return pa.Table.from_pydict(
             {
                 "vec_id": ids[keep],

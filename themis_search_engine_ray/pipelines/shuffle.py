@@ -37,6 +37,19 @@ def _shuffle_key(doc_id: int, seed: int) -> str:
     return hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()
 
 
+def _assign_keys(ids, seed: int, num_shards: int):
+    """(keys, shards) for a doc_id sequence — THE sharding rule. Every
+    consumer (manifest, export, packing) must derive shards from this
+    one function: the module invariant `global order == shard files
+    concatenated` holds only while they agree."""
+    keys = [_shuffle_key(int(i), seed) for i in ids]
+    shards = np.asarray(
+        [int(k[:2], 16) * num_shards // _PREFIX_SPACE for k in keys],
+        np.int64,
+    )
+    return keys, shards
+
+
 def shuffle_manifest(sf_dir: str, seed: int = 0, num_shards: int = 16):
     """(doc_id, shuffle_key, shard) for every document — the shuffle
     assignment, deterministic and SQL-oracle-checkable. Global shuffled
@@ -45,12 +58,7 @@ def shuffle_manifest(sf_dir: str, seed: int = 0, num_shards: int = 16):
     import ray.data as rd
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        keys = [_shuffle_key(int(i), seed) for i in ids]
-        shards = np.asarray(
-            [int(k[:2], 16) * num_shards // _PREFIX_SPACE for k in keys],
-            np.int64,
-        )
+        keys, shards = _assign_keys(batch["doc_id"].to_pylist(), seed, num_shards)
         return pa.Table.from_arrays(
             [
                 batch["doc_id"],
@@ -80,9 +88,40 @@ def shuffle_export(
     file size, not the cluster. Idempotent resume: re-running skips
     complete shards and reproduces the rest byte-identically.
     Returns {shards_written, shards_skipped, rows, out_dir}."""
+    import json
+
     import ray.data as rd
 
     os.makedirs(out_dir, exist_ok=True)
+    # resume is only valid against the SAME (seed, num_shards): shard
+    # files carry no parameters, so an unvalidated resume after a
+    # parameter change would silently keep stale files in the "global"
+    # order. A manifest written before any shard pins the parameters.
+    manifest_path = os.path.join(out_dir, "shuffle_manifest.json")
+    params = {
+        "format": "shuffle-prefix-shards-v1",
+        "seed": int(seed),
+        "num_shards": int(num_shards),
+    }
+    if os.path.isfile(manifest_path):
+        with open(manifest_path) as f:
+            existing = json.load(f)
+        if existing != params:
+            raise ValueError(
+                f"out_dir {out_dir!r} holds a shuffle with parameters "
+                f"{existing}; refusing to resume with {params} — use a "
+                "fresh directory"
+            )
+    elif any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        raise ValueError(
+            f"out_dir {out_dir!r} contains parquet files but no shuffle "
+            "manifest; refusing to mix output with unknown files"
+        )
+    else:
+        with open(manifest_path + ".tmp", "w") as f:
+            json.dump(params, f)
+        os.replace(manifest_path + ".tmp", manifest_path)
+
     done = {
         s
         for s in range(num_shards)
@@ -90,12 +129,7 @@ def shuffle_export(
     }
 
     def assign_full(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        keys = [_shuffle_key(int(i), seed) for i in ids]
-        shards = np.asarray(
-            [int(k[:2], 16) * num_shards // _PREFIX_SPACE for k in keys],
-            np.int64,
-        )
+        keys, shards = _assign_keys(batch["doc_id"].to_pylist(), seed, num_shards)
         keep = np.asarray([s not in done for s in shards], bool)
         out = batch.filter(pa.array(keep))
         out = out.append_column(
@@ -185,12 +219,7 @@ def pack_offsets(sf_dir: str, seed: int = 0, num_shards: int = 16, seq_len: int 
     from ..stages.tokenize import token_codes_batch
 
     def assign_counts(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        keys = [_shuffle_key(int(i), seed) for i in ids]
-        shards = np.asarray(
-            [int(k[:2], 16) * num_shards // _PREFIX_SPACE for k in keys],
-            np.int64,
-        )
+        keys, shards = _assign_keys(batch["doc_id"].to_pylist(), seed, num_shards)
         uniq, codes, lens, n = token_codes_batch(
             batch["text"], lower_first=True
         )

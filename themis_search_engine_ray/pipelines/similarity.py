@@ -71,7 +71,10 @@ def knn_brute(sf_dir: str, k: int = 5, n_queries: int = 10):
         kk = min(k + 1, vids.size)  # +1 in case the query itself is here
         for qi in range(qids_.size):
             row = cos[qi]
-            sel = np.argpartition(-row, kk - 1)[:kk] if kk < vids.size else np.arange(vids.size)
+            # deterministic batch-local selection (cos desc, vec_id asc)
+            # — exact ties at the k boundary resolve identically across
+            # batch layouts AND across the brute/IVF-full pipelines
+            sel = np.lexsort((vids, -row))[:kk]
             mask = vids[sel] != qids_[qi]
             out_q.extend([qids_[qi]] * int(mask.sum()))
             out_v.extend(vids[sel][mask].tolist())
@@ -158,7 +161,8 @@ def ivf_knn(sf_dir: str, k: int = 5, n_queries: int = 10, n_lists: int = 8, npro
             row = cos[qi][probe_mask]
             pv = vids[probe_mask]
             kk = min(k, pv.size)
-            sel = np.argpartition(-row, kk - 1)[:kk] if kk < pv.size else np.arange(pv.size)
+            # deterministic selection — see knn_brute.partial_topk
+            sel = np.lexsort((pv, -row))[:kk]
             out_q.extend([qids_[qi]] * sel.size)
             out_v.extend(pv[sel].tolist())
             out_c.extend(row[sel].tolist())

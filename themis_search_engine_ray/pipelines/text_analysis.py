@@ -337,12 +337,13 @@ def repetition_scores(sf_dir: str, k: int = 3):
     """
     import ray.data as rd
 
-    from .dedup import _shingle_hashes_batch, _token_hash_codes
+    from .dedup import _shingle_hashes_batch
 
     def rep_batch(batch: pa.Table) -> pa.Table:
-        d_idx, _sh, n = _shingle_hashes_batch(batch["text"], k)
-        doc_of, _th, _n = _token_hash_codes(batch["text"])
-        n_tok = np.bincount(doc_of, minlength=n).astype(np.int64)
+        # one tokenize pass: counts ride along with the shingle hashes
+        d_idx, _sh, n, n_tok = _shingle_hashes_batch(
+            batch["text"], k, return_token_counts=True
+        )
         total = np.maximum(n_tok - (k - 1), 0)
         distinct = np.bincount(d_idx, minlength=n).astype(np.int64)
         frac = np.zeros(n, np.float64)
