@@ -167,3 +167,52 @@ def test_group_quantiles_hist_bound_gapped(ray_session, tmp_path):
         col = f"q{int(q * 100)}"
         assert abs(est.loc["gap", col] - exact.loc["gap", col]) <= width + 1e-9, (
             col, est.loc["gap", col], exact.loc["gap", col])
+
+
+def test_group_quantiles_hist_bound_property(ray_session, tmp_path):
+    """Randomized gapped/clustered distributions: the one-bin-width
+    bound holds for every group and quantile."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from themis_search_engine_ray.pipelines.sampling import (
+        QUANTILES,
+        group_quantiles,
+        group_quantiles_hist,
+    )
+
+    bins = 256
+    counter = [0]
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, width=32),
+            min_size=2,
+            max_size=60,
+        )
+    )
+    def check(vals):
+        counter[0] += 1
+        d = tmp_path / f"case{counter[0]}"
+        d.mkdir()
+        tab = pa.table(
+            {
+                "event_type": ["g"] * len(vals),
+                "value": pa.array([float(v) for v in vals], pa.float64()),
+                "user_id": list(range(len(vals))),
+                "ts": list(range(len(vals))),
+            }
+        )
+        pq.write_table(tab, str(d / "events.parquet"))
+        exact = group_quantiles(str(d)).to_pandas().set_index("event_type")
+        est = group_quantiles_hist(str(d), bins=bins).set_index("event_type")
+        width = (max(vals) - min(vals)) / bins
+        for q in QUANTILES:
+            col = f"q{int(q * 100)}"
+            assert abs(est.loc["g", col] - exact.loc["g", col]) <= width + 1e-6, (
+                vals, col, est.loc["g", col], exact.loc["g", col])
+
+    check()

@@ -149,3 +149,18 @@ def test_hll_bound_and_mergeability(zipf_docs):
 
     # small-range (linear counting) regime
     assert abs(hll_estimate(_hll_registers([f"x{i}" for i in range(50)])) - 50) <= 3
+
+
+def test_bit_length_u64_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from themis_search_engine_ray.pipelines.sketches import _bit_length_u64
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(0, (1 << 64) - 1), min_size=1, max_size=50))
+    def check(xs):
+        got = _bit_length_u64(np.array(xs, np.uint64))
+        assert got.tolist() == [int(v).bit_length() for v in xs]
+
+    check()
