@@ -74,6 +74,30 @@ def test_shuffle_export_global_order_and_resume(tmp_path):
         shuffle_export(SF, out3, seed=0, num_shards=16)
 
 
+def test_shuffle_export_keep_ids_filter(tmp_path):
+    """keep_ids exports only the requested docs, in their shuffle
+    order; resuming with a different keep set refuses (digest pinned)."""
+    import numpy as np
+
+    from themis_search_engine_ray.pipelines.shuffle import shuffle_export
+
+    tab = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = tab["doc_id"].to_pylist()
+    keep = np.array(sorted(ids)[::3], np.int64)  # every third doc
+    out = str(tmp_path / "shuf_keep")
+    r = shuffle_export(SF, out, seed=0, num_shards=16, keep_ids=keep)
+    assert r["rows"] == len(keep)
+    want = sorted(
+        keep.tolist(),
+        key=lambda i: hashlib.md5(f"{i}:0".encode()).hexdigest(),
+    )
+    assert _read_global_order(out) == want
+    with pytest.raises(ValueError, match="refusing to resume"):
+        shuffle_export(SF, out, seed=0, num_shards=16, keep_ids=keep[:10])
+    with pytest.raises(ValueError, match="refusing to resume"):
+        shuffle_export(SF, out, seed=0, num_shards=16)  # unfiltered
+
+
 def test_pack_offsets_contiguous_stream():
     """Offsets form one contiguous token stream in shuffle order:
     sorted by start_offset, each doc starts exactly where the previous

@@ -74,7 +74,11 @@ def shuffle_manifest(sf_dir: str, seed: int = 0, num_shards: int = 16):
 
 
 def shuffle_export(
-    sf_dir: str, out_dir: str, seed: int = 0, num_shards: int = 16
+    sf_dir: str,
+    out_dir: str,
+    seed: int = 0,
+    num_shards: int = 16,
+    keep_ids: "np.ndarray | None" = None,
 ) -> dict:
     """Write the corpus in deterministic shuffled order: one Parquet
     file per key-prefix shard, rows sorted by shuffle_key inside it.
@@ -86,8 +90,14 @@ def shuffle_export(
     sorts it by key and writes atomically (``.tmp`` + rename). Shard
     sizes are ~corpus/num_shards, so size ``num_shards`` to the target
     file size, not the cluster. Idempotent resume: re-running skips
-    complete shards and reproduces the rest byte-identically.
-    Returns {shards_written, shards_skipped, rows, out_dir}."""
+    complete shards and reproduces the rest byte-identically — the
+    (seed, num_shards, keep-set digest) are pinned in a manifest, and
+    a resume with different parameters refuses.
+
+    ``keep_ids`` (optional): export only these doc_ids (e.g. the
+    curated set) — a sorted broadcastable array, filtered in the same
+    single pass. Returns {shards_written, shards_skipped, rows,
+    out_dir}."""
     import json
 
     import ray.data as rd
@@ -97,11 +107,17 @@ def shuffle_export(
     # files carry no parameters, so an unvalidated resume after a
     # parameter change would silently keep stale files in the "global"
     # order. A manifest written before any shard pins the parameters.
+    keep_sorted = None
+    keep_digest = None
+    if keep_ids is not None:
+        keep_sorted = np.unique(np.asarray(keep_ids, np.int64))
+        keep_digest = hashlib.md5(keep_sorted.tobytes()).hexdigest()
     manifest_path = os.path.join(out_dir, "shuffle_manifest.json")
     params = {
         "format": "shuffle-prefix-shards-v1",
         "seed": int(seed),
         "num_shards": int(num_shards),
+        "keep_digest": keep_digest,
     }
     if os.path.isfile(manifest_path):
         with open(manifest_path) as f:
@@ -131,6 +147,12 @@ def shuffle_export(
     def assign_full(batch: pa.Table) -> pa.Table:
         keys, shards = _assign_keys(batch["doc_id"].to_pylist(), seed, num_shards)
         keep = np.asarray([s not in done for s in shards], bool)
+        if keep_sorted is not None:
+            from .dedup import _in_sorted
+
+            keep &= _in_sorted(
+                keep_sorted, batch["doc_id"].to_numpy().astype(np.int64)
+            )
         out = batch.filter(pa.array(keep))
         out = out.append_column(
             "shuffle_key",
