@@ -87,6 +87,8 @@ def test_shuffle_export_keep_ids_filter(tmp_path):
     out = str(tmp_path / "shuf_keep")
     r = shuffle_export(SF, out, seed=0, num_shards=16, keep_ids=keep)
     assert r["rows"] == len(keep)
+    # empty shards are backfilled AND counted: written + skipped == N
+    assert r["shards_written"] + r["shards_skipped"] == 16
     want = sorted(
         keep.tolist(),
         key=lambda i: hashlib.md5(f"{i}:0".encode()).hexdigest(),
@@ -96,6 +98,26 @@ def test_shuffle_export_keep_ids_filter(tmp_path):
         shuffle_export(SF, out, seed=0, num_shards=16, keep_ids=keep[:10])
     with pytest.raises(ValueError, match="refusing to resume"):
         shuffle_export(SF, out, seed=0, num_shards=16)  # unfiltered
+
+
+def test_shuffle_export_resumes_pre_keepdigest_manifest(tmp_path):
+    """A directory exported before the keep_digest field existed (its
+    manifest lacks the key) must resume cleanly as 'unfiltered'."""
+    import json
+
+    from themis_search_engine_ray.pipelines.shuffle import shuffle_export
+
+    out = str(tmp_path / "shuf_old")
+    r1 = shuffle_export(SF, out, seed=0, num_shards=16)
+    # rewrite the manifest in the pre-keep_digest format
+    mpath = os.path.join(out, "shuffle_manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["keep_digest"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    r2 = shuffle_export(SF, out, seed=0, num_shards=16)
+    assert r2["shards_skipped"] == 16 and r2["rows"] == r1["rows"]
 
 
 def test_pack_offsets_contiguous_stream():

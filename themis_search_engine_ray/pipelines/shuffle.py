@@ -122,6 +122,8 @@ def shuffle_export(
     if os.path.isfile(manifest_path):
         with open(manifest_path) as f:
             existing = json.load(f)
+        # manifests written before keep_digest existed mean "unfiltered"
+        existing.setdefault("keep_digest", None)
         if existing != params:
             raise ValueError(
                 f"out_dir {out_dir!r} holds a shuffle with parameters "
@@ -144,14 +146,22 @@ def shuffle_export(
         if os.path.isfile(os.path.join(out_dir, f"shard-{s:05d}.parquet"))
     }
 
+    keep_ref = None
+    if keep_sorted is not None:
+        import ray
+
+        keep_ref = ray.put(keep_sorted)  # broadcast once, not per task
+
     def assign_full(batch: pa.Table) -> pa.Table:
         keys, shards = _assign_keys(batch["doc_id"].to_pylist(), seed, num_shards)
         keep = np.asarray([s not in done for s in shards], bool)
-        if keep_sorted is not None:
+        if keep_ref is not None:
+            import ray
+
             from .dedup import _in_sorted
 
             keep &= _in_sorted(
-                keep_sorted, batch["doc_id"].to_numpy().astype(np.int64)
+                ray.get(keep_ref), batch["doc_id"].to_numpy().astype(np.int64)
             )
         out = batch.filter(pa.array(keep))
         out = out.append_column(
@@ -184,8 +194,9 @@ def shuffle_export(
             .to_pandas()
         )
         written = len(stats)
-        # a shard with zero rows never reaches its group: write it empty
-        # so resume bookkeeping stays by-file
+        # a shard with zero rows (routine under keep_ids) never reaches
+        # its group: write it empty so resume bookkeeping stays by-file,
+        # and count it as written so written + skipped == num_shards
         import pyarrow.parquet as pq
 
         doc_schema = pq.read_schema(f"{sf_dir}/documents.parquet")
@@ -197,6 +208,7 @@ def shuffle_export(
             if s not in done and not os.path.isfile(path):
                 pq.write_table(empty, path + ".tmp")
                 os.replace(path + ".tmp", path)
+                written += 1
 
     import pyarrow.parquet as pq
 

@@ -57,13 +57,12 @@ def main() -> None:
         k=args.k,
         seed=args.seed,
     ).to_pandas()
-    manifest_path = os.path.join(args.out, "curated_manifest.parquet")
-    kept.sort_values("shuffle_key").reset_index(drop=True).to_parquet(
-        manifest_path + ".tmp"
-    )
-    os.replace(manifest_path + ".tmp", manifest_path)
     t_curate = time.time() - t0
 
+    # export FIRST: it validates the pinned (seed, num_shards, keep
+    # digest) and refuses a parameter-changed resume BEFORE anything is
+    # replaced — so curated_manifest.parquet is only (re)written once
+    # the shards it describes are consistent with it
     t0 = time.time()
     export = shuffle_export(
         args.sf_dir,
@@ -73,6 +72,12 @@ def main() -> None:
         keep_ids=kept["doc_id"].to_numpy(),  # export ONLY the curated set
     )
     t_export = time.time() - t0
+
+    manifest_path = os.path.join(args.out, "curated_manifest.parquet")
+    kept.sort_values("shuffle_key").reset_index(drop=True).to_parquet(
+        manifest_path + ".tmp"
+    )
+    os.replace(manifest_path + ".tmp", manifest_path)
 
     summary = {
         "curated_docs": int(len(kept)),
