@@ -125,3 +125,48 @@ def test_verify_join_matches_scan(ray_session):
     g_join = ngram_jaccard_pairs(sf, verify="join").to_pandas()
     g_auto = ngram_jaccard_pairs(sf, verify="auto").to_pandas()
     assert pairs(g_scan) == pairs(g_join) == pairs(g_auto)
+
+
+def test_embedding_lsh_verify_join_matches_scan(ray_session):
+    """The distributed join verify for embedding-LSH dedup (the
+    auto-switch path past _VERIFY_SCAN_MAX_PAIRS candidates) must
+    produce pairs identical to the driver-bounded scan/broadcast
+    verify — same candidates, same exact cosines."""
+    from themis_search_engine_ray.pipelines.dedup import embedding_dup_pairs_lsh
+
+    sf = "/root/testdata/sf0.001"
+
+    def pairs(df):
+        return {
+            (int(a), int(b), float(c))
+            for a, b, c in zip(df["a"], df["b"], df["cosine"])
+        }
+
+    scan = embedding_dup_pairs_lsh(sf, verify="scan").to_pandas()
+    join = embedding_dup_pairs_lsh(sf, verify="join").to_pandas()
+    assert pairs(scan) == pairs(join)
+    assert len(scan) > 0
+
+
+def test_minhash_exact_twin_equals_ground_truth(ray_session):
+    """minhash_pairs_exact collapses the banding to one all-pairs
+    bucket (candidate recall provably 1.0), so its verified output must
+    equal the all-pairs Jaccard ground truth that ngram_jaccard_pairs'
+    value-exact oracle checks."""
+    from themis_search_engine_ray.pipelines.dedup import (
+        minhash_pairs_exact,
+        ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def pairs(df):
+        return {
+            (int(a), int(b), float(j))
+            for a, b, j in zip(df["a"], df["b"], df["jaccard"])
+        }
+
+    exact = minhash_pairs_exact(sf).to_pandas()
+    truth = ngram_jaccard_pairs(sf).to_pandas()
+    assert pairs(exact) == pairs(truth)
+    assert len(exact) > 0

@@ -88,10 +88,14 @@ def shingle_hash_str(s: str) -> int:
     spaces): the same rolling polynomial over per-token hashes,
     computed from the string side. Lets a small string-shingle set
     (e.g. a broadcast benchmark set) be probed against batch hashes."""
-    h = np.uint64(0)
+    # plain-int arithmetic masked to 64 bits: numpy uint64 scalar ops
+    # emit per-call RuntimeWarnings on wraparound (and raise under
+    # -W error), which this hot loop must not
+    h = 0
+    b = int(_SHINGLE_B)
     for tok in s.split(" "):
-        h = h * _SHINGLE_B + np.uint64(_token_hash_cached(tok))
-    return int(h)
+        h = (h * b + _token_hash_cached(tok)) & 0xFFFFFFFFFFFFFFFF
+    return h
 
 
 def _token_hash_cached(tok: str) -> int:
@@ -202,7 +206,11 @@ _PAIR_SHARDS = 64
 
 
 def _emit_pairs_sharded(
-    rows, key_cols: list[str], n_shards: int = _PAIR_SHARDS, dedupe: bool = True
+    rows,
+    key_cols: list[str],
+    n_shards: int = _PAIR_SHARDS,
+    dedupe: bool = True,
+    max_clique: int = _MAX_CLIQUE,
 ):
     """rows: Dataset with ``doc_id`` + ``key_cols`` (int-typed), one row
     per (doc, key). Returns the candidate (a, b) Dataset: docs sharing
@@ -255,7 +263,7 @@ def _emit_pairs_sharded(
             ids = ids[np.concatenate(([True], ids[1:] != ids[:-1]))]
             if ids.size < 2:
                 continue
-            ai, bi = _pair_indices(ids.size)
+            ai, bi = _pair_indices(ids.size, max_clique)
             out_a.append(ids[ai])
             out_b.append(ids[bi])
         if not out_a:
@@ -478,31 +486,25 @@ def _broadcast_verify_jaccard(ds, candidates, threshold: float, k: int):
 _JOIN_BUCKETS = 64
 
 
-def _join_verify_jaccard(ds, candidates, threshold: float, k: int):
-    """Fully distributed verify — no driver-side state at all.
+def _attach_pair_payloads(payload_ds, candidates, ptype=None):
+    """Attach a per-doc payload to both sides of a candidate-pair
+    Dataset, fully distributed — no driver-side state at all.
 
-    Two bucketed tag-union reduce-side joins attach each pair's packed
-    shingle set for ``a`` then ``b`` (the same pattern graph.py uses:
-    Ray 2.49's ``Dataset.join`` deadlocks/mis-resolves when executed
-    repeatedly in a session, see NOTES.md). Rows are bucketed on
+    ``payload_ds``: (doc_id:int64, pay:<ptype>) — one payload row per
+    document (string or binary). ``candidates``: (a, b). Returns a
+    Dataset (a, b, pay_a, pay_b).
+
+    Two bucketed tag-union reduce-side joins attach each pair's payload
+    for ``a`` then ``b`` (the same pattern graph.py uses: Ray 2.49's
+    ``Dataset.join`` deadlocks/mis-resolves when executed repeatedly in
+    a session, see NOTES.md). Rows are bucketed on
     ``key % _JOIN_BUCKETS``; each group does one vectorized dict
     lookup, so per-group Python cost is O(group), not O(1)-per-doc."""
+    if ptype is None:
+        ptype = pa.string()
+    empty_pay = b"" if ptype == pa.binary() else ""
 
-    def shingle_sets(batch: pa.Table) -> pa.Table:
-        # packed as \x1f-delimited strings: Arrow group/shuffle payloads
-        # stay flat (no list-of-string columns through the exchange)
-        ids = batch["doc_id"].to_pylist()
-        sets = ["\x1f".join(sorted(_shingles(t, k))) for t in batch["text"].to_pylist()]
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "sh_set": pa.array(sets, pa.string()),
-            }
-        )
-
-    sets_ds = ds.map_batches(
-        shingle_sets, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # reused by both attach rounds
+    payload_ds = payload_ds.materialize()  # reused by both attach rounds
 
     _SCHEMA = pa.schema(
         [
@@ -510,8 +512,8 @@ def _join_verify_jaccard(ds, candidates, threshold: float, k: int):
             ("key", pa.int64()),
             ("a", pa.int64()),
             ("b", pa.int64()),
-            ("sh_a", pa.string()),
-            ("sh", pa.string()),
+            ("pay_a", ptype),
+            ("pay", ptype),
             ("tag", pa.int8()),
         ]
     )
@@ -525,13 +527,13 @@ def _join_verify_jaccard(ds, candidates, threshold: float, k: int):
                 "key": ids,
                 "a": np.zeros(n, np.int64),
                 "b": np.zeros(n, np.int64),
-                "sh_a": [""] * n,
-                "sh": batch["sh_set"],
+                "pay_a": pa.array([empty_pay] * n, ptype),
+                "pay": batch["pay"],
                 "tag": np.zeros(n, np.int8),
             }
         ).cast(_SCHEMA)
 
-    def _pair_rows(key_col: str, sh_a_col: bool):
+    def _pair_rows(key_col: str, pay_a_col: bool):
         def fn(batch: pa.Table) -> pa.Table:
             keys = batch[key_col].to_numpy()
             n = len(keys)
@@ -541,8 +543,10 @@ def _join_verify_jaccard(ds, candidates, threshold: float, k: int):
                     "key": keys,
                     "a": batch["a"],
                     "b": batch["b"],
-                    "sh_a": batch["sh_a"] if sh_a_col else [""] * n,
-                    "sh": [""] * n,
+                    "pay_a": batch["pay_a"]
+                    if pay_a_col
+                    else pa.array([empty_pay] * n, ptype),
+                    "pay": pa.array([empty_pay] * n, ptype),
                     "tag": np.ones(n, np.int8),
                 }
             ).cast(_SCHEMA)
@@ -555,45 +559,69 @@ def _join_verify_jaccard(ds, candidates, threshold: float, k: int):
         pidx = np.flatnonzero(tags == 1)
         if pidx.size == 0:
             return pa.Table.from_pydict(
-                {"a": [], "b": [], "sh_a": [], out_col: []},
+                {"a": [], "b": [], "pay_a": [], out_col: []},
                 pa.schema(
-                    [(c, pa.int64() if c in ("a", "b") else pa.string())
-                     for c in ("a", "b", "sh_a", out_col)]
+                    [(c, pa.int64() if c in ("a", "b") else ptype)
+                     for c in ("a", "b", "pay_a", out_col)]
                 ),
             )
         keys = group["key"].to_numpy()
-        sh = group["sh"].to_pylist()
-        lut = {int(keys[i]): sh[i] for i in sidx}
+        pay = group["pay"].to_pylist()
+        lut = {int(keys[i]): pay[i] for i in sidx}
         pk = keys[pidx]
         return pa.Table.from_pydict(
             {
                 "a": group["a"].take(pa.array(pidx)),
                 "b": group["b"].take(pa.array(pidx)),
-                "sh_a": group["sh_a"].take(pa.array(pidx)),
-                out_col: [lut.get(int(x), "") for x in pk],
+                "pay_a": group["pay_a"].take(pa.array(pidx)),
+                out_col: pa.array(
+                    [lut.get(int(x), empty_pay) for x in pk], ptype
+                ),
             }
         )
 
     cand = candidates.select_columns(["a", "b"])
     round1 = (
-        sets_ds.map_batches(_set_rows, batch_format="pyarrow", zero_copy_batch=True)
+        payload_ds.map_batches(_set_rows, batch_format="pyarrow", zero_copy_batch=True)
         .union(cand.map_batches(_pair_rows("a", False), batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(
-            lambda g: _attach(g, "sh_a2"), batch_format="pyarrow"
+            lambda g: _attach(g, "pay_a2"), batch_format="pyarrow"
         )
-        # sh_a from round 1 lands in sh_a2; promote it
+        # pay_a from round 1 lands in pay_a2; promote it
         .map_batches(
-            lambda t: t.drop_columns(["sh_a"]).rename_columns(["a", "b", "sh_a"]),
+            lambda t: t.drop_columns(["pay_a"]).rename_columns(["a", "b", "pay_a"]),
             batch_format="pyarrow",
         )
     )
-    round2 = (
-        sets_ds.map_batches(_set_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        payload_ds.map_batches(_set_rows, batch_format="pyarrow", zero_copy_batch=True)
         .union(round1.map_batches(_pair_rows("b", True), batch_format="pyarrow"))
         .groupby("bucket")
-        .map_groups(lambda g: _attach(g, "sh_b"), batch_format="pyarrow")
+        .map_groups(lambda g: _attach(g, "pay_b"), batch_format="pyarrow")
     )
+
+
+def _join_verify_jaccard(ds, candidates, threshold: float, k: int):
+    """Fully distributed Jaccard verify: shingle sets packed as
+    \\x1f-delimited strings (Arrow group/shuffle payloads stay flat — no
+    list-of-string columns through the exchange), attached to both pair
+    sides via :func:`_attach_pair_payloads`, verified per batch."""
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        sets = ["\x1f".join(sorted(_shingles(t, k))) for t in batch["text"].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pay": pa.array(sets, pa.string()),
+            }
+        )
+
+    sets_ds = ds.map_batches(
+        shingle_sets, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = _attach_pair_payloads(sets_ds, candidates, pa.string())
 
     def verify_joined(batch: pa.Table) -> pa.Table:
         def unpack(s):
@@ -602,12 +630,12 @@ def _join_verify_jaccard(ds, candidates, threshold: float, k: int):
         return _jaccard_rows(
             batch["a"].to_pylist(),
             batch["b"].to_pylist(),
-            [unpack(s) for s in batch["sh_a"].to_pylist()],
-            [unpack(s) for s in batch["sh_b"].to_pylist()],
+            [unpack(s) for s in batch["pay_a"].to_pylist()],
+            [unpack(s) for s in batch["pay_b"].to_pylist()],
             threshold,
         )
 
-    return round2.map_batches(verify_joined, batch_format="pyarrow")
+    return joined.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def _scan_verify_jaccard(ds, candidates, threshold: float, k: int):
@@ -703,48 +731,83 @@ def minhash_pairs_ds(
     if id_col != "doc_id" or text_col != "text":
         ds = ds.select_columns([id_col, text_col]).rename_columns(["doc_id", "text"])
 
-    def band_rows(batch: pa.Table) -> pa.Table:
-        """One row per (doc, band) carrying the band's signature chunk as
-        compound int64 key columns — bucket membership is exact chunk
-        equality inside _emit_pairs_sharded, no re-hashing (and no hash
-        collisions adding spurious candidates). Signatures are computed
-        whole-batch: vectorized shingle hashing (_shingle_hashes_batch)
-        + one (P × shingles) affine pass + per-doc segment minima."""
-        d_idx, sh, n = _shingle_hashes_batch(batch["text"], k)
-        sigs = np.full((n, _N_PERM), np.uint64(_MERSENNE), np.uint64)
-        if sh.size:
-            x = sh % np.uint64(_MERSENNE)
-            vals = _minhash_vals(x)  # (P, m)
-            counts = np.bincount(d_idx, minlength=n)
-            nonempty = np.flatnonzero(counts > 0)
-            starts = np.concatenate(([0], np.cumsum(counts)))[nonempty]
-            sigs[nonempty] = np.minimum.reduceat(vals, starts, axis=1).T
-        chunks = sigs.reshape(n, _BANDS, _ROWS_PER_BAND)
-        arrays = {
-            "doc_id": pa.array(np.repeat(batch["doc_id"].to_numpy(), _BANDS)),
-            "band": pa.array(
-                np.tile(np.arange(_BANDS, dtype=np.int32), n), pa.int32()
-            ),
-        }
-        for r in range(_ROWS_PER_BAND):
-            arrays[f"sig{r}"] = pa.array(
-                chunks[:, :, r].reshape(-1).view(np.int64), pa.int64()
-            )
-        return pa.Table.from_pydict(arrays)
-
     sig_keys = [f"sig{r}" for r in range(_ROWS_PER_BAND)]
     candidates = _emit_pairs_sharded(
         # batch_size bounds the (64 × shingles) permutation matrix to
         # ~tens of MB per task: large batches allocate 100MB+ temporaries
         # whose page faults dominate the kernel on fault-bound hosts
         ds.map_batches(
-            band_rows,
+            lambda b: _minhash_band_rows(b, k, _BANDS, _ROWS_PER_BAND),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=1024,
         ),
         ["band", *sig_keys],
         dedupe=False,  # the verifier dedupes (scan: driver-side for free)
+    )
+    return _verify_jaccard_pairs(ds, candidates, threshold, k, verify)
+
+
+def _minhash_band_rows(
+    batch: pa.Table, k: int, bands: int, rows_per_band: int
+) -> pa.Table:
+    """One row per (doc, band) carrying the band's signature chunk as
+    compound int64 key columns — bucket membership is exact chunk
+    equality inside _emit_pairs_sharded, no re-hashing (and no hash
+    collisions adding spurious candidates). Signatures are computed
+    whole-batch: vectorized shingle hashing (_shingle_hashes_batch)
+    + one (P × shingles) affine pass + per-doc segment minima."""
+    d_idx, sh, n = _shingle_hashes_batch(batch["text"], k)
+    sigs = np.full((n, _N_PERM), np.uint64(_MERSENNE), np.uint64)
+    if sh.size:
+        x = sh % np.uint64(_MERSENNE)
+        vals = _minhash_vals(x)  # (P, m)
+        counts = np.bincount(d_idx, minlength=n)
+        nonempty = np.flatnonzero(counts > 0)
+        starts = np.concatenate(([0], np.cumsum(counts)))[nonempty]
+        sigs[nonempty] = np.minimum.reduceat(vals, starts, axis=1).T
+    chunks = sigs[:, : bands * rows_per_band].reshape(n, bands, rows_per_band)
+    arrays = {
+        "doc_id": pa.array(np.repeat(batch["doc_id"].to_numpy(), bands)),
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+    }
+    for r in range(rows_per_band):
+        arrays[f"sig{r}"] = pa.array(
+            chunks[:, :, r].reshape(-1).view(np.int64), pa.int64()
+        )
+    return pa.Table.from_pydict(arrays)
+
+
+def minhash_pairs_exact(
+    sf_dir: str, threshold: float = 0.5, k: int = 3, verify: str = "auto"
+):
+    """MinHash LSH degenerated to PROVABLE candidate recall 1.0 — the
+    value-exact driver twin of :func:`minhash_pairs`.
+
+    The same pipeline stages run — vectorized shingle hashing, 64-perm
+    signature kernel, banded row emission, sharded bucket discovery,
+    exact-Jaccard verification — but the banding is collapsed to ONE
+    band carrying ZERO signature key columns, so every document shares
+    the single bucket, the candidate set is all pairs (the per-bucket
+    star cap is lifted to 2^31), and recall is exactly 1.0 by
+    construction. The verified output therefore equals the all-pairs
+    Jaccard ground truth: the ``ngram_jaccard_pairs`` DuckDB oracle is
+    this function's oracle too. Candidate volume is O(n²) by
+    construction — test/driver scale only; production banding is
+    :func:`minhash_pairs_ds`."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    candidates = _emit_pairs_sharded(
+        ds.map_batches(
+            lambda b: _minhash_band_rows(b, k, 1, 0),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+        ),
+        ["band"],
+        dedupe=False,
+        max_clique=1 << 31,
     )
     return _verify_jaccard_pairs(ds, candidates, threshold, k, verify)
 
@@ -1140,18 +1203,29 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
 
 
 def embedding_dup_pairs_lsh(
-    sf_dir: str, threshold: float = 0.3, bands: int = _HP_BANDS, bits: int = _HP_BITS
+    sf_dir: str,
+    threshold: float = 0.3,
+    bands: int = _HP_BANDS,
+    bits: int = _HP_BITS,
+    verify: str = "auto",
 ):
     """Near-dup pairs by cosine via random-hyperplane LSH — the scale
     path (sub-quadratic, documented recall).
 
     sign(vec · H) gives ``bands × bits`` sign bits; each band's bits
     pack into a bucket id; ``groupby(band, bucket)`` emits star-capped
-    candidates; exact cosine verifies each candidate (broadcast of the
-    CANDIDATE vectors only). Every emitted (pair, cosine) row is exact;
-    recall for a pair at angle θ is ``1 - (1 - (1-θ/π)^bits)^bands``
-    (≈0.96 at cosine 0.3, ≈1.0 above 0.7 with the defaults —
-    tests/test_pipelines.py measures it against the exact pipeline).
+    candidates; exact cosine verifies each candidate. Every emitted
+    (pair, cosine) row is exact; recall for a pair at angle θ is
+    ``1 - (1 - (1-θ/π)^bits)^bands`` (≈0.96 at cosine 0.3, ≈1.0 above
+    0.7 with the defaults — tests/test_pipelines.py measures it against
+    the exact pipeline).
+
+    ``verify="auto"`` (default): below ``_VERIFY_SCAN_MAX_PAIRS``
+    candidates, the driver-bounded ``"scan"`` (collect candidate pairs,
+    broadcast only the CANDIDATE vectors); above it, the fully
+    distributed ``"join"`` (vectors attached to both pair sides via
+    the bucketed tag-union joins of :func:`_attach_pair_payloads` — no
+    driver-side candidate or vector materialization at any volume).
     """
     import ray
     import ray.data as rd
@@ -1186,16 +1260,67 @@ def embedding_dup_pairs_lsh(
         dedupe=False,  # deduped driver-side below, with the id pull
     )
 
-    # verify: broadcast only the CANDIDATE vectors (small side); pairs
-    # found via multiple bands are deduped per collected batch
-    # (_collect_unique_pairs) instead of a dedicated groupby(a, b)
-    # shuffle
+    return _verify_cosine_pairs(ds, candidates, threshold, verify)
+
+
+_COS_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]
+)
+
+
+def _cosine_rows(a, b, va: np.ndarray, vb: np.ndarray, threshold: float) -> pa.Table:
+    """Exact cosine for aligned pair sides, thresholded + rounded."""
+    if len(a) == 0:
+        return pa.Table.from_pydict({"a": [], "b": [], "cosine": []}).cast(
+            _COS_SCHEMA
+        )
+    na = np.linalg.norm(va, axis=1)
+    nb = np.linalg.norm(vb, axis=1)
+    na[na == 0] = 1.0
+    nb[nb == 0] = 1.0
+    cos = (va * vb).sum(axis=1) / na / nb
+    keep = cos >= threshold
+    return pa.Table.from_pydict(
+        {
+            "a": np.asarray(a, np.int64)[keep],
+            "b": np.asarray(b, np.int64)[keep],
+            "cosine": round_half_up(cos[keep], 6),
+        }
+    ).cast(_COS_SCHEMA)
+
+
+def _verify_cosine_pairs(ds, candidates, threshold: float, verify: str):
+    """Dispatch exact-cosine verification of candidate (a, b) pairs —
+    the embedding counterpart of :func:`_verify_jaccard_pairs`, same
+    ``"auto"`` contract: driver-bounded ``"scan"`` below
+    ``_VERIFY_SCAN_MAX_PAIRS`` candidates, fully distributed ``"join"``
+    above (tests/test_degenerate.py asserts scan == join)."""
+    if verify == "auto":
+        candidates = candidates.select_columns(["a", "b"]).materialize()
+        verify = (
+            "join" if candidates.count() > _VERIFY_SCAN_MAX_PAIRS else "scan"
+        )
+    if verify == "scan":
+        return _scan_verify_cosine(ds, candidates, threshold)
+    if verify == "join":
+        deduped = candidates.select_columns(["a", "b"]).groupby(["a", "b"]).count()
+        return _join_verify_cosine(ds, deduped, threshold)
+    raise ValueError(f"unknown verify mode {verify!r}")
+
+
+def _scan_verify_cosine(ds, candidates, threshold: float):
+    """Driver-bounded verify: collect + dedupe the candidate pairs,
+    rescan the embedding table keeping only CANDIDATE vectors, broadcast
+    those (the small side both times)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
     pairs = _collect_unique_pairs(candidates.select_columns(["a", "b"]))
     cand_tab = rd.from_arrow(
         pa.table({"a": pairs[:, 0], "b": pairs[:, 1]})
     ).repartition(_PAIR_SHARDS)
-    cand_id_arr = np.unique(pairs)
-    ids_ref = ray.put(cand_id_arr)
+    ids_ref = ray.put(np.unique(pairs))
 
     def cand_vecs(batch: pa.Table) -> pa.Table:
         want = ray.get(ids_ref)
@@ -1208,8 +1333,6 @@ def embedding_dup_pairs_lsh(
             }
         )
 
-    import pyarrow.compute as pc
-
     vmap: dict[int, np.ndarray] = {}
     for batch in ds.map_batches(
         cand_vecs, batch_format="pyarrow", zero_copy_batch=True
@@ -1221,30 +1344,57 @@ def embedding_dup_pairs_lsh(
         m = flat.reshape(len(ids), -1)
         for i, row in zip(ids.tolist(), m):
             vmap[i] = row
+
     vmap_ref = ray.put(vmap)
 
-    def verify(batch: pa.Table) -> pa.Table:
+    def verify_scan(batch: pa.Table) -> pa.Table:
         m = ray.get(vmap_ref)
-        a = batch["a"].to_numpy()
-        b = batch["b"].to_numpy()
-        if a.size == 0:
-            return pa.Table.from_pydict(
-                {"a": [], "b": [], "cosine": []}
-            ).cast(
-                pa.schema(
-                    [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]
-                )
-            )
-        va = np.stack([m[x] for x in a.tolist()])
-        vb = np.stack([m[y] for y in b.tolist()])
-        na = np.linalg.norm(va, axis=1)
-        nb = np.linalg.norm(vb, axis=1)
-        na[na == 0] = 1.0
-        nb[nb == 0] = 1.0
-        cos = (va * vb).sum(axis=1) / na / nb
-        keep = cos >= threshold
-        return pa.Table.from_pydict(
-            {"a": a[keep], "b": b[keep], "cosine": round_half_up(cos[keep], 6)}
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        if not a:
+            return _cosine_rows([], [], None, None, threshold)
+        return _cosine_rows(
+            a,
+            b,
+            np.stack([m[x] for x in a]),
+            np.stack([m[y] for y in b]),
+            threshold,
         )
 
-    return cand_tab.map_batches(verify, batch_format="pyarrow")
+    return cand_tab.map_batches(verify_scan, batch_format="pyarrow")
+
+
+def _join_verify_cosine(ds, candidates, threshold: float):
+    """Fully distributed verify: vectors packed as raw float64 bytes
+    (flat binary through the exchange), attached to both pair sides via
+    :func:`_attach_pair_payloads`, cosine computed per batch. Nothing
+    candidate- or corpus-sized ever reaches the driver."""
+
+    def vec_rows(batch: pa.Table) -> pa.Table:
+        ids, mat = _embedding_matrix(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "pay": pa.array(
+                    [np.ascontiguousarray(r).tobytes() for r in mat], pa.binary()
+                ),
+            }
+        )
+
+    vecs_ds = ds.map_batches(vec_rows, batch_format="pyarrow", zero_copy_batch=True)
+    joined = _attach_pair_payloads(vecs_ds, candidates, pa.binary())
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        if not a:
+            return _cosine_rows([], [], None, None, threshold)
+        b = batch["b"].to_pylist()
+        va = np.stack(
+            [np.frombuffer(s, np.float64) for s in batch["pay_a"].to_pylist()]
+        )
+        vb = np.stack(
+            [np.frombuffer(s, np.float64) for s in batch["pay_b"].to_pylist()]
+        )
+        return _cosine_rows(a, b, va, vb, threshold)
+
+    return joined.map_batches(verify_joined, batch_format="pyarrow")

@@ -8,9 +8,12 @@
   #batches × #queries × k rows, never the corpus.
 
 * :func:`ivf_knn` — IVF (inverted-file) ANN: k-means centroids fitted
-  on a driver-side sample, broadcast; each batch assigns its vectors to
-  lists; at query time only the ``nprobe`` nearest lists are scanned.
-  Recall < 1 by design; tested for recall@k against :func:`knn_brute`.
+  on a DISTRIBUTED bounded sample (:func:`sample_embeddings` — a
+  deterministic splitmix64 hash filter inside ``map_batches``; ≤ cap
+  rows ever reach the driver), broadcast; each batch assigns its
+  vectors to lists; at query time only the ``nprobe`` nearest lists are
+  scanned. Recall < 1 by design; tested for recall@k against
+  :func:`knn_brute`.
 
 Determinism: scores computed in float64, rounded to 6 decimals in
 outputs; ordering (cosine desc, vec_id asc) fixed on both engine and
@@ -43,14 +46,76 @@ def _normalized(mat: np.ndarray) -> np.ndarray:
 
 
 def load_queries(sf_dir: str, n_queries: int = 10):
-    """Fixed query set = the first ``n_queries`` vec_ids (deterministic)."""
-    import pyarrow.parquet as pq
+    """Fixed query set = the first ``n_queries`` vec_ids (deterministic).
 
-    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    order = np.argsort(tab["vec_id"].to_numpy(), kind="stable")[:n_queries]
-    qids = tab["vec_id"].to_numpy()[order]
-    qmat = _embedding_matrix(tab["embedding"])[order]
+    Distributed min-k: each batch keeps its ``n_queries`` smallest
+    vec_ids (one partial-top-k map), the driver reduces the partials —
+    at most ``#blocks × n_queries`` tiny rows ever leave the workers,
+    never the table."""
+    import ray.data as rd
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        sel = np.argsort(ids, kind="stable")[:n_queries]
+        return batch.take(pa.array(np.sort(sel)))
+
+    partials = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(partial_min, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()  # bounded: ≤ #blocks × n_queries rows
+    )
+    ids = np.asarray([r["vec_id"] for r in partials], np.int64)
+    order = np.argsort(ids, kind="stable")[:n_queries]
+    qids = ids[order]
+    qmat = np.asarray(
+        [np.asarray(partials[i]["embedding"], np.float64) for i in order]
+    )
     return qids, qmat
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — the deterministic per-row
+    uniform hash used for distributed sampling (uint64 wraparound is
+    intentional)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def sample_embeddings(sf_dir: str, cap: int = 4096):
+    """Distributed bounded sample of the embedding table: a
+    deterministic splitmix64(vec_id) threshold filter runs inside
+    ``map_batches`` (each task forwards ~3·cap/N of its rows), then the
+    driver keeps the ``cap`` smallest hashes. At most ~3·cap rows ever
+    reach the driver regardless of table size — the scale path for
+    fitting IVF centroids (no driver-side table read). The result is a
+    pure function of the vec_id set (partitioning-independent)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n = ds.count()  # Parquet metadata count — no scan
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    # oversample 3x so P(fewer than cap survivors) is negligible, then
+    # cap exactly by smallest hash (deterministic)
+    rate = min(1.0, (3.0 * cap) / n)
+    thresh = np.uint64(min(int(rate * 2.0**64), 2**64 - 1))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        h = _splitmix64(batch["vec_id"].to_numpy().astype(np.uint64))
+        keep = h <= thresh
+        out = batch.filter(pa.array(keep))
+        return out.append_column("h", pa.array(h[keep].astype(np.int64)))
+
+    rows = ds.map_batches(
+        filt, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # bounded: ~3·cap rows
+    rows.sort(key=lambda r: (np.uint64(np.int64(r["h"])), r["vec_id"]))
+    return np.asarray(
+        [np.asarray(r["embedding"], np.float64) for r in rows[:cap]]
+    )
 
 
 def knn_brute(sf_dir: str, k: int = 5, n_queries: int = 10):
@@ -127,18 +192,13 @@ def ivf_knn(sf_dir: str, k: int = 5, n_queries: int = 10, n_lists: int = 8, npro
     Same output schema as :func:`knn_brute`; recall measured in tests."""
     import ray
     import ray.data as rd
-    import pyarrow.parquet as pq
 
     qids, qmat = load_queries(sf_dir, n_queries)
     qn = _normalized(qmat)
 
-    # fit centroids on a driver-side sample (sampling = the scale path;
-    # here the table is small so the sample is the table)
-    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    sample = _normalized(_embedding_matrix(tab["embedding"]))
-    if sample.shape[0] > 4096:
-        rng = np.random.RandomState(11)
-        sample = sample[rng.choice(sample.shape[0], 4096, replace=False)]
+    # fit centroids on a DISTRIBUTED bounded sample (≤4096 rows ever
+    # reach the driver — no driver-side table read at any corpus size)
+    sample = _normalized(sample_embeddings(sf_dir, cap=4096))
     cents = _kmeans_fit(sample, n_lists)
     # per-query probe lists
     qd = ((qn[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
