@@ -243,6 +243,52 @@ def run_bench(build_only: bool = False) -> dict:
         )
         timings["minhash_dedup_30k"] = time.time() - t0
 
+        # --- curation composition + shuffled export (the curate_export
+        # CLI path: one tag pass + keep-min groupby + decontamination +
+        # prefix-shard shuffled export) over the same 30k-doc sample ---
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        docs_dir = f"/tmp/themis_bench_docs_{n_turns}_{seed}"
+        docs_file = f"{docs_dir}/documents.parquet"
+        if not os.path.isfile(docs_file):
+            # bench scaffolding, cached per corpus: curate's encoded
+            # min-key needs ids < 2^62, so the 63-bit doc keys drop one
+            # bit (30k ids in a 2^62 space — collision-free in practice)
+            def half_id(batch: pa.Table) -> pa.Table:
+                import numpy as np
+
+                return pa.Table.from_arrays(
+                    [pa.array(batch["doc_id"].to_numpy() >> 1), batch["text"]],
+                    names=["doc_id", "text"],
+                )
+
+            tab = pa.concat_tables(
+                docs_sample.map_batches(
+                    half_id, batch_format="pyarrow"
+                ).iter_batches(batch_size=8192, batch_format="pyarrow")
+            )
+            tab = tab.take(pc.sort_indices(tab["doc_id"]))
+            os.makedirs(docs_dir, exist_ok=True)
+            import pyarrow.parquet as pq_
+
+            pq_.write_table(tab, docs_file + ".tmp")
+            os.replace(docs_file + ".tmp", docs_file)
+
+        from themis_search_engine_ray.pipelines.curate import curate_corpus
+        from themis_search_engine_ray.pipelines.shuffle import shuffle_export
+
+        exp_dir = f"/tmp/themis_bench_curate_{os.getpid()}"
+        shutil.rmtree(exp_dir, ignore_errors=True)
+        t0 = time.time()
+        kept = curate_corpus(docs_dir).to_pandas()
+        stats = shuffle_export(
+            docs_dir, exp_dir, keep_ids=kept["doc_id"].to_numpy()
+        )
+        timings["curate_export_30k"] = time.time() - t0
+        extras["curated_rows"] = stats["rows"]
+        shutil.rmtree(exp_dir, ignore_errors=True)
+
         # --- term_df groupby at full corpus scale (non-index shuffle) ---
         from ray.data.aggregate import Sum
 
@@ -257,8 +303,6 @@ def run_bench(build_only: bool = False) -> dict:
             batch_size=2048,
             zero_copy_batch=True,
         )
-        import pyarrow as pa
-        import pyarrow.compute as pc
 
         def df_rows(batch: pa.Table) -> pa.Table:
             # df contribution per fragment row = docs-blob bytes / 8
@@ -337,6 +381,7 @@ def run_bench(build_only: bool = False) -> dict:
         ),
         "minhash_pairs": ex0["minhash_pairs"],
         "distinct_terms": ex0["distinct_terms"],
+        "curated_rows": ex0["curated_rows"],
         "repeats": repeats,
         "spread": {
             k: [round(r[k], 3) for r in runs] for k in runs[0]

@@ -146,3 +146,82 @@ def test_pagerank_citations_matches_numpy(ray_session, tmp_path):
     for n, i in idx.items():
         assert ranks[n] == pytest.approx(r[i], rel=1e-9)
     assert sum(ranks.values()) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_corpus_semi_join_drops_phantom_targets(ray_session, tmp_path):
+    """J4 (PageRank.java:98-105): citations whose target is not itself
+    a corpus entry are dropped with corpus_only=True; the round-3
+    rank-everything behavior is preserved with the default False."""
+    P = "f" * 40  # phantom: cited but never an entry
+    path = _jsonl(
+        tmp_path,
+        [
+            json.dumps({"id": A, "outCitations": [B, P]}),
+            json.dumps({"id": B, "outCitations": [A, C, P]}),
+            json.dumps({"id": C}),
+        ],
+    )
+    from themis_search_engine_ray.sources.citations import corpus_id64s, read_graph_entries
+
+    entries = read_graph_entries(path).materialize()
+    corpus = corpus_id64s(entries)
+    assert set(corpus.tolist()) == {id64(A), id64(B), id64(C)}
+
+    filtered = citation_edges(entries, corpus_ids=corpus).to_pandas()
+    got = {(s, d) for s, d in zip(filtered["src"], filtered["dst"])}
+    assert got == {(A, B), (B, A), (B, C)}  # both P-edges dropped
+
+    unfiltered = citation_edges(entries).to_pandas()
+    assert {(s, d) for s, d in zip(unfiltered["src"], unfiltered["dst"])} == {
+        (A, B), (A, P), (B, A), (B, C), (B, P)
+    }
+
+    # the filtered pagerank ranks only corpus nodes
+    ranked = pagerank_citations(path, n_iter=4, corpus_only=True).to_pandas()
+    assert set(ranked["node"]) == {id64(A), id64(B), id64(C)}
+    ranked_all = pagerank_citations(path, n_iter=4).to_pandas()
+    assert id64(P) in set(ranked_all["node"])
+
+
+def test_pagerank_citations_table_matches_numpy(ray_session):
+    """The full synthetic-citations driver pipeline (S4 parse → J4
+    semi-join → directed PageRank) against a numpy power iteration over
+    the same deterministically derived edge set."""
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.graph import pagerank_citations_table
+
+    sf = "/root/testdata/sf0.001"
+    got = pagerank_citations_table(sf, n_iter=6).to_pandas()
+    ranks = dict(zip(got["doc_id"], got["rank"]))
+
+    ids = sorted(
+        int(i)
+        for i in pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+    )
+    idset = set(ids)
+    edges = []
+    for d in ids:
+        for t in (d + 1, d * 3):
+            if t in idset:  # the J4 semi-join
+                edges.append((d, t))
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for s, t in edges:
+        out.setdefault(idx[s], []).append(idx[t])
+    r = np.full(n, 1.0 / n)
+    for _ in range(6):
+        nxt = np.full(n, 0.15 / n)
+        dangling = sum(r[i] for i in range(n) if i not in out)
+        nxt += 0.85 * dangling / n
+        for s, ds in out.items():
+            for d in ds:
+                nxt[d] += 0.85 * r[s] / len(ds)
+        r = nxt
+    assert set(ranks) == set(nodes)
+    for node, i in idx.items():
+        assert ranks[node] == pytest.approx(r[i], abs=5e-7)

@@ -68,7 +68,18 @@ def curate_corpus(
         shared = shared_shingle_counts(batch["text"], bset_, bhash_, k)
         quality = quality_batch(batch)["quality_score"].to_numpy()
         keepable = (~held) & (shared == 0) & (quality >= quality_min)
-        keyed = ids.astype(np.int64) * 2 + (1 - keepable.astype(np.int64))
+        ids = ids.astype(np.int64)
+        # the encoded min-key doubles the id: enforce the 62-bit bound
+        # the docstring states instead of silently wrapping int64 (the
+        # index build's own doc_key() ids are 63-bit and MUST NOT feed
+        # this path — use a map_groups keep-min instead)
+        if ids.size and (ids.max() >= (1 << 62) or ids.min() < 0):
+            raise ValueError(
+                "curate_corpus requires non-negative doc_ids < 2^62 "
+                "(the keepable flag is encoded into doc_id*2 + flag); "
+                f"got range [{ids.min()}, {ids.max()}]"
+            )
+        keyed = ids * 2 + (1 - keepable.astype(np.int64))
         return pa.Table.from_pydict(
             {"text_hash": pa.array(th, pa.string()), "keyed": keyed}
         )

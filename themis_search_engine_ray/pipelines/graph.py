@@ -187,6 +187,32 @@ def pagerank(edges, damping: float = 0.85, n_iter: int = 20, symmetric: bool = F
     return ranks
 
 
+def pagerank_citations_table(sf_dir: str, n_iter: int = 6, damping: float = 0.85):
+    """Driver entry for the FULL citation path with the J4 semi-join:
+    synthetic deterministic citation JSONL over the documents table →
+    S4 parse (blank-on-malformed) → vectorized edge emission → corpus
+    semi-join (drop phantom targets, ``PageRank.java:98-105``) →
+    directed PageRank with dangling-mass redistribution. Returns
+    (doc_id, rank) rounded to 6 — value-exact against the unrolled
+    grouped-CTE DuckDB oracle (__ray_entry__._pagerank_citations_sql)."""
+    from ..sources.citations import pagerank_citations, synthesize_citations_jsonl
+
+    path = synthesize_citations_jsonl(sf_dir)
+    ranks = pagerank_citations(
+        path, n_iter=n_iter, damping=damping, corpus_only=True
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["node"],
+                "rank": round_half_up(batch["rank"].to_numpy(), 6),
+            }
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
 def pagerank_dup_graph(sf_dir: str, threshold: float = 0.5, n_iter: int = 6):
     """Driver entry: PageRank centrality over the (symmetric) near-dup
     pair graph of the documents table — (doc_id, rank) rounded to 6 for

@@ -41,11 +41,27 @@ def _assign_keys(ids, seed: int, num_shards: int):
     """(keys, shards) for a doc_id sequence — THE sharding rule. Every
     consumer (manifest, export, packing) must derive shards from this
     one function: the module invariant `global order == shard files
-    concatenated` holds only while they agree."""
-    keys = [_shuffle_key(int(i), seed) for i in ids]
-    shards = np.asarray(
-        [int(k[:2], 16) * num_shards // _PREFIX_SPACE for k in keys],
-        np.int64,
+    concatenated` holds only while they agree.
+
+    One md5 per row (hot path: digest bytes reused for both the hex key
+    and the shard — the first digest byte IS ``int(key[:2], 16)``, so
+    there is no second parse loop). num_shards is capped by the 2-hex
+    prefix space: beyond 256 the extra shards would be PERMANENTLY
+    empty, silently breaking the 'size num_shards to the target file
+    size' contract — rejected instead."""
+    if not 1 <= num_shards <= _PREFIX_SPACE:
+        raise ValueError(
+            f"num_shards must be in [1, {_PREFIX_SPACE}] (shards are "
+            f"2-hex-char key-prefix ranges); got {num_shards}"
+        )
+    md5 = hashlib.md5
+    sfx = f":{seed}".encode()
+    digs = [md5(b"%d" % i + sfx).digest() for i in ids]
+    keys = [d.hex() for d in digs]
+    shards = (
+        np.fromiter((d[0] for d in digs), np.int64, len(digs))
+        * num_shards
+        // _PREFIX_SPACE
     )
     return keys, shards
 

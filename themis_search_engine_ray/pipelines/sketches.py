@@ -95,8 +95,10 @@ def topk_terms_sketch(
     """Top-k frequent terms via per-batch Misra-Gries candidate pruning.
 
     ``refine=True`` (default): the summed sketch selects a bounded
-    candidate set (≤ #batches × capacity terms — the shuffle cap that
-    makes this affordable when the full distinct-term set is not), then
+    candidate set — ≤ #batches × capacity terms through the SHUFFLE,
+    then capped to ``max(64k, 4096)`` by a distributed sort+limit before
+    anything reaches the driver (the collect is O(cand_cap) at any
+    corpus size; truncation is folded into the certification) — then
     a second scan re-counts ONLY candidate terms exactly (broadcast
     frozenset membership, tiny groupby) and returns the exact top-k
     (term, count). A term absent from every batch summary has true
@@ -159,14 +161,36 @@ def topk_terms_sketch(
         )
         return tab.reset_index(drop=True)
 
-    cand_tab = agg.to_pandas()  # bounded: ≤ #batches × capacity (+2) rows
-    n_total = int(cand_tab.loc[cand_tab["term"] == _TOTAL_SENTINEL, "est_count"].sum())
+    agg = agg.materialize()  # consumed twice: sentinels + candidates
+    import pyarrow.compute as pc
+
+    sent_tab = agg.map_batches(
+        lambda t: t.filter(
+            pc.is_in(
+                t["term"], value_set=pa.array([_TOTAL_SENTINEL, _DROPPED_SENTINEL])
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()  # exactly ≤ 2 rows
+    n_total = int(sent_tab.loc[sent_tab["term"] == _TOTAL_SENTINEL, "est_count"].sum())
     n_dropped_batches = int(
-        cand_tab.loc[cand_tab["term"] == _DROPPED_SENTINEL, "est_count"].sum()
+        sent_tab.loc[sent_tab["term"] == _DROPPED_SENTINEL, "est_count"].sum()
     )
-    cand = frozenset(
-        cand_tab.loc[~cand_tab["term"].str.startswith("\x00"), "term"]
+    # the summed-sketch candidate union grows with #batches; cap what
+    # reaches the driver DISTRIBUTEDLY (sort + limit) so the collect is
+    # O(cand_cap) at any corpus size. Truncation weakens certification
+    # (a dropped candidate's true count ≤ its est ≤ the boundary est,
+    # + the global MG bound) — accounted for below.
+    cand_cap = max(64 * k, 4096)
+    cand_tab = (
+        agg.map_batches(drop_sentinel, batch_format="pyarrow")
+        .sort(["est_count", "term"], descending=[True, False])
+        .limit(cand_cap)
+        .to_pandas()
     )
+    truncated = len(cand_tab) == cand_cap
+    est_boundary = int(cand_tab["est_count"].iloc[-1]) if truncated else 0
+    cand = frozenset(cand_tab["term"])
     cand_ref = ray.put(cand)
 
     def exact_rows(batch: pa.Table) -> pa.Table:
@@ -193,12 +217,16 @@ def topk_terms_sketch(
     bound = n_total / (capacity + 1)
     kth = int(tab["count"].iloc[-1]) if len(tab) else 0
     # Not certified when (a) we returned k terms but the k-th does not
-    # beat the MG drop bound, or (b) we returned FEWER than k terms and
+    # beat the MG drop bound, (b) we returned FEWER than k terms and
     # some batch summary actually pruned terms (when none did, the
     # candidate set is the complete term set and <k rows just means
-    # fewer than k distinct terms exist).
-    if (len(tab) == k and kth <= bound) or (
-        len(tab) < k and n_dropped_batches > 0
+    # fewer than k distinct terms exist), or (c) the candidate cap
+    # truncated the summed sketch and a dropped candidate (true count
+    # ≤ boundary est + global MG bound) could beat the k-th.
+    if (
+        (len(tab) == k and kth <= bound)
+        or (len(tab) < k and n_dropped_batches > 0)
+        or (truncated and kth <= est_boundary + bound)
     ):
         import warnings
 

@@ -132,26 +132,91 @@ def id64(sha1_hex: str) -> int:
     return int(np.uint64(v).astype(np.int64))
 
 
-def citation_edges(entries):
+def corpus_id64s(entries) -> np.ndarray:
+    """Sorted unique :func:`id64` keys of every (non-malformed) entry —
+    the corpus node set the J4 semi-join filters against. Collected to
+    the driver in bounded batches (8 bytes/doc: fine to ~10^9 nodes; a
+    larger corpus would swap the broadcast for the bucketed tag-union
+    semi-join in pipelines/graph.py)."""
+    acc: list[np.ndarray] = []
+    for batch in (
+        entries.select_columns(["id"])
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    ):
+        ids = [i for i in batch["id"].to_pylist() if i]
+        if ids:
+            acc.append(np.asarray([id64(i) for i in ids], np.int64))
+    if not acc:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(acc))
+
+
+def citation_edges(entries, corpus_ids: "np.ndarray | None" = None):
     """Graph entries → (src, dst, src64, dst64) edge Dataset; malformed
-    and citation-less entries contribute no edges."""
+    and citation-less entries contribute no edges.
+
+    ``corpus_ids`` (sorted int64 array, e.g. :func:`corpus_id64s`):
+    keep only citations whose TARGET exists in the corpus — the
+    reference's J4 semi-join (``themis/linkAnalysis/PageRank.java:98-105``
+    skips out-citations absent from its document map). Broadcast once
+    via ``ray.put``, probed per batch with the sorted-array
+    ``_in_sorted`` idiom."""
+    ids_ref = None
+    if corpus_ids is not None:
+        import ray
+
+        ids_ref = ray.put(np.asarray(corpus_ids, np.int64))
 
     def edges(batch: pa.Table) -> pa.Table:
-        srcs, dsts = [], []
-        for i, cits in zip(
-            batch["id"].to_pylist(), batch["out_citations"].to_pylist()
-        ):
-            if not i:
-                continue
-            for c in cits or []:
-                srcs.append(i)
-                dsts.append(c)
+        import pyarrow.compute as pc
+
+        ids_col = batch["id"]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        cits_col = batch["out_citations"]
+        if isinstance(cits_col, pa.ChunkedArray):
+            cits_col = cits_col.combine_chunks()
+        # vectorized flatten: src index repeats per citation, dst is the
+        # flat citation list — no per-row Python over the (possibly
+        # long) citation lists
+        lens = (
+            pc.list_value_length(cits_col)
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        src_ids = ids_col.to_pylist()
+        valid = np.fromiter((bool(i) for i in src_ids), bool, len(src_ids))
+        src_idx = np.repeat(np.arange(len(src_ids)), lens)
+        row_ok = valid[src_idx]  # drop citations of blank/malformed rows
+        src_idx = src_idx[row_ok]
+        dsts = pc.list_flatten(cits_col).filter(pa.array(row_ok))
+        src_str = pc.take(ids_col, pa.array(src_idx))
+        # id64 per UNIQUE string (hex-prefix parse), then map
+        dst_list = dsts.to_pylist()
+        id_cache = {s: id64(s) for s in set(src_str.to_pylist()) | set(dst_list)}
+        src64 = np.fromiter(
+            (id_cache[s] for s in src_str.to_pylist()), np.int64, len(src_idx)
+        )
+        dst64 = np.fromiter(
+            (id_cache[s] for s in dst_list), np.int64, len(dst_list)
+        )
+        if ids_ref is not None:
+            import ray
+
+            from ..pipelines.dedup import _in_sorted
+
+            keep = _in_sorted(ray.get(ids_ref), dst64)
+            kmask = pa.array(keep)
+            src_str = src_str.filter(kmask)
+            dsts = dsts.filter(kmask)
+            src64, dst64 = src64[keep], dst64[keep]
         return pa.Table.from_arrays(
             [
-                pa.array(srcs, pa.string()),
-                pa.array(dsts, pa.string()),
-                pa.array([id64(s) for s in srcs], pa.int64()),
-                pa.array([id64(d) for d in dsts], pa.int64()),
+                src_str,
+                dsts,
+                pa.array(src64, pa.int64()),
+                pa.array(dst64, pa.int64()),
             ],
             schema=EDGE_SCHEMA,
         )
@@ -188,14 +253,75 @@ def load_graph(out_dir: str):
     return rd.read_parquet(f"{out_dir}/edges")
 
 
-def pagerank_citations(path: str, n_iter: int = 20, damping: float = 0.85):
+def pagerank_citations(
+    path: str,
+    n_iter: int = 20,
+    damping: float = 0.85,
+    corpus_only: bool = False,
+):
     """End-to-end revival of the reference's abandoned link-analysis
     path: JSONL entries → edges → distributed PageRank. Returns a
-    Dataset (node:int64, rank:float64) keyed by :func:`id64`."""
+    Dataset (node:int64, rank:float64) keyed by :func:`id64`.
+
+    ``corpus_only=True`` applies the reference's J4 semi-join
+    (``PageRank.java:98-105``): citations whose target is not itself a
+    corpus entry are dropped, so phantom nodes never enter the graph.
+    ``False`` preserves the round-3 rank-everything behavior."""
     from ..pipelines.graph import pagerank
 
-    edges = citation_edges(read_graph_entries(path)).map_batches(
+    entries = read_graph_entries(path)
+    corpus = None
+    if corpus_only:
+        entries = entries.materialize()  # consumed twice below
+        corpus = corpus_id64s(entries)
+    edges = citation_edges(entries, corpus_ids=corpus).map_batches(
         lambda t: t.select(["src64", "dst64"]).rename_columns(["src", "dst"]),
         batch_format="pyarrow",
     )
     return pagerank(edges, damping=damping, n_iter=n_iter)
+
+
+def synthesize_citations_jsonl(sf_dir: str, out_path: "str | None" = None) -> str:
+    """Deterministic synthetic citation corpus over the sf documents
+    table (driver/test fixture — no external data): each doc_id becomes
+    one JSONL entry with id ``f"{doc_id:016x}"`` (so :func:`id64` maps
+    it back to exactly ``doc_id``) citing ``doc_id + 1`` and
+    ``doc_id * 3`` — a mix of real and PHANTOM targets, so the J4
+    corpus semi-join has work to do — plus one trailing malformed line
+    exercising the reference's blank-entry parse rule
+    (S2JsonEntryReader.java:162-209). Written atomically, cached by
+    content-defining key (the documents path), returned as the path.
+
+    Fixture generator: reads only the doc_id column, driver-side, at
+    test scale — not a pipeline stage."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    if out_path is None:
+        key = hashlib.md5(doc_path.encode()).hexdigest()[:12]
+        out_path = f"/tmp/themis_citations_{key}/citations.jsonl"
+    if os.path.isfile(out_path):
+        return out_path
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    ids = sorted(
+        int(i)
+        for i in pq.read_table(doc_path, columns=["doc_id"])["doc_id"].to_pylist()
+    )
+    lines = []
+    for d in ids:
+        cits = [f"{d + 1:016x}", f"{d * 3:016x}"]
+        lines.append(
+            json.dumps(
+                {"id": f"{d:016x}", "authors": [], "outCitations": cits},
+                sort_keys=True,
+            )
+        )
+    lines.append("{this is not json")  # blank-entry path
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, out_path)
+    return out_path

@@ -21,31 +21,31 @@ import pyarrow as pa
 REQUIRED = ("conv_id", "turn_idx", "text")
 
 
-def _make_row_counter():
-    """Deferred ``ray.remote`` decoration (module import must not touch
-    Ray state)."""
-    import ray
+def _count_input_rows(src_path: str, fmt: str, ds) -> int:
+    """Exact input-row count WITHOUT driver-side state or side-channel
+    actors — retry-safe by construction (a recomputed count is a pure
+    function of the source):
 
-    @ray.remote(num_cpus=0)
-    class RowCounter:
-        def __init__(self):
-            self.n = 0
+    * parquet — ``Dataset.count()`` on a fresh read is metadata-only
+      (row-group counts), no scan;
+    * json (JSONL) — one ``read_text().count()`` pass: line counting,
+      no JSON parse (Ray's reader drops empty lines, as the JSON reader
+      effectively does);
+    * csv — one extra parse pass (``count()`` over a fresh read):
+      RFC-4180 quoted newlines make raw line counting wrong, so the
+      exact count costs a re-parse. Prefer JSONL/Parquet sources at
+      scale.
 
-        def add(self, k: int) -> None:
-            self.n += int(k)
+    The previous design counted inside the normalize pass via a counter
+    actor; Ray task retries/re-execution could double-count there, and
+    the per-batch actor round-trip sat on the ingest hot path."""
+    import ray.data as rd
 
-        def total(self) -> int:
-            return self.n
-
-    return RowCounter
-
-
-class _RowCounterProxy:
-    def remote(self):
-        return _make_row_counter().remote()
-
-
-_RowCounter = _RowCounterProxy()
+    if fmt == "parquet":
+        return rd.read_parquet(src_path).count()
+    if fmt == "json":
+        return rd.read_text(src_path).count()
+    return ds.count()
 
 
 def _normalize(batch: pa.Table) -> pa.Table:
@@ -118,26 +118,10 @@ def ingest_transcripts(
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
-    # Input rows are counted INSIDE the one normalize pass (a separate
-    # ds.count() would re-read and re-parse the whole source — at the
-    # 100 TB ingest shape that doubles the dominant cost). A tiny
-    # counter actor is the side-metric escape hatch the Dataset API
-    # lacks; the synchronous get guarantees every batch is counted
-    # before write_parquet returns.
-    import ray
-
-    counter = _RowCounter.remote()
-
-    def normalize_counted(batch: pa.Table) -> pa.Table:
-        ray.get(counter.add.remote(batch.num_rows))
-        return _normalize(batch)
-
-    ds = ds.map_batches(
-        normalize_counted, batch_format="pyarrow", zero_copy_batch=True
-    )
+    input_rows = _count_input_rows(src_path, fmt, ds)
+    ds = ds.map_batches(_normalize, batch_format="pyarrow", zero_copy_batch=True)
     os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir, min_rows_per_file=rows_per_file)
-    input_rows = ray.get(counter.total.remote())
     import pyarrow.parquet as pq
 
     files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
