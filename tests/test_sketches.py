@@ -96,6 +96,29 @@ def test_sketch_warns_when_candidates_short_of_k(zipf_docs):
     assert len(out) < 200
 
 
+def test_sketch_candidate_cap_truncation(zipf_docs):
+    """The distributed candidate cap (sort+limit before the driver
+    collect): a cap comfortably above k still returns the true top-k
+    on this head-heavy corpus (hot terms rank first in the summed
+    sketch), and a cap at exactly k forces the uncertifiable case —
+    kth <= boundary_est + bound — which must warn, not silently pass."""
+    import warnings
+
+    sf, true = zipf_docs
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # certified: no warning allowed
+        out = topk_terms_sketch(sf, k=10, capacity=256, cand_cap=64)
+    assert list(zip(out["term"], out["count"])) == want
+
+    with pytest.warns(UserWarning, match="not certified"):
+        tight = topk_terms_sketch(sf, k=10, capacity=256, cand_cap=10)
+    # the returned counts are still exact for the candidates it kept
+    for t, c in zip(tight["term"], tight["count"]):
+        assert true[t] == c
+
+
 def test_bit_length_u64_exact():
     from themis_search_engine_ray.pipelines.sketches import _bit_length_u64
 

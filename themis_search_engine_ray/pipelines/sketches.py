@@ -90,7 +90,11 @@ _DROPPED_SENTINEL = "\x00dropped"
 
 
 def topk_terms_sketch(
-    sf_dir: str, k: int = 50, capacity: int = 256, refine: bool = True
+    sf_dir: str,
+    k: int = 50,
+    capacity: int = 256,
+    refine: bool = True,
+    cand_cap: "int | None" = None,
 ):
     """Top-k frequent terms via per-batch Misra-Gries candidate pruning.
 
@@ -181,7 +185,8 @@ def topk_terms_sketch(
     # O(cand_cap) at any corpus size. Truncation weakens certification
     # (a dropped candidate's true count ≤ its est ≤ the boundary est,
     # + the global MG bound) — accounted for below.
-    cand_cap = max(64 * k, 4096)
+    if cand_cap is None:
+        cand_cap = max(64 * k, 4096)
     cand_tab = (
         agg.map_batches(drop_sentinel, batch_format="pyarrow")
         .sort(["est_count", "term"], descending=[True, False])
