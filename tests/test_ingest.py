@@ -48,9 +48,29 @@ def test_ingest_csv_drops_null_keys(ray_session, tmp_path):
     out = str(tmp_path / "norm_csv")
     meta = ingest_transcripts(str(src), out)
     assert meta["rows"] == len(ROWS)  # null-key row dropped
+    assert meta["dropped_rows"] == 1  # exact count via the csv re-parse
     idx = str(tmp_path / "idx_csv")
     build_index(out, idx, BuildConfig(num_partitions=1, term_parts=2, salt_bits=1))
     _check_built(idx, ROWS)
+
+
+def test_ingest_parquet_and_counts(ray_session, tmp_path):
+    """Parquet passthrough-normalize: input rows counted from metadata
+    (no scan), dropped_rows exact for null-key rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "turns_src"
+    os.makedirs(src)
+    rows = [dict(r) for r in ROWS] + [
+        {"conv_id": None, "turn_idx": 99, "text": "null conv"},
+        {"conv_id": "c9", "turn_idx": None, "text": "null turn"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(src / "part-0.parquet"))
+    out = str(tmp_path / "norm_pq")
+    meta = ingest_transcripts(str(src / "part-0.parquet"), out)
+    assert meta["rows"] == len(ROWS)
+    assert meta["dropped_rows"] == 2
 
 
 def test_ingest_missing_column_raises(ray_session, tmp_path):

@@ -237,6 +237,39 @@ def test_knn_brute_self_consistency():
         assert sorted(grp["vec_id"]) == sorted(top.tolist())
 
 
+def test_sampling_and_query_load_distributed():
+    """The distributed centroid sample and partial-min query load must
+    be bounded, deterministic, and draw real table rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.similarity import (
+        load_queries,
+        sample_embeddings,
+    )
+
+    tab = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tab["vec_id"].to_numpy()
+    full = {
+        int(i): np.asarray(e, np.float64)
+        for i, e in zip(ids, tab["embedding"].to_pylist())
+    }
+
+    s1 = sample_embeddings(SF, cap=16)
+    s2 = sample_embeddings(SF, cap=16)
+    assert s1.shape[0] == 16
+    assert np.array_equal(s1, s2)  # deterministic (splitmix64 keys)
+    rows = {tuple(r) for r in np.round(s1, 9)}
+    table_rows = {tuple(r) for r in np.round(np.stack(list(full.values())), 9)}
+    assert rows <= table_rows  # every sample row is a real table row
+
+    qids, qmat = load_queries(SF, n_queries=5)
+    want = np.sort(ids)[:5]
+    assert np.array_equal(qids, want)  # the 5 smallest vec_ids
+    for qid, vec in zip(qids, qmat):
+        assert np.array_equal(vec, full[int(qid)])
+
+
 def test_ivf_recall():
     from themis_search_engine_ray.pipelines.similarity import ivf_knn, knn_brute
 
