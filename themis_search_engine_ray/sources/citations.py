@@ -301,7 +301,13 @@ def synthesize_citations_jsonl(sf_dir: str, out_path: "str | None" = None) -> st
 
     doc_path = f"{sf_dir}/documents.parquet"
     if out_path is None:
-        key = hashlib.md5(doc_path.encode()).hexdigest()[:12]
+        # cache key includes the source's size + row count so a
+        # regenerated documents table never serves a stale graph
+        st = os.stat(doc_path)
+        n_rows = pq.ParquetFile(doc_path).metadata.num_rows
+        key = hashlib.md5(
+            f"{doc_path}:{st.st_size}:{n_rows}".encode()
+        ).hexdigest()[:12]
         out_path = f"/tmp/themis_citations_{key}/citations.jsonl"
     if os.path.isfile(out_path):
         return out_path
