@@ -249,7 +249,10 @@ def run_bench(build_only: bool = False) -> dict:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        docs_dir = f"/tmp/themis_bench_docs_{n_turns}_{seed}"
+        # v1 in the path = fixture derivation version: bump when the
+        # sampling rule / doc-key code changes so a stale cached fixture
+        # never feeds the timed run
+        docs_dir = f"/tmp/themis_bench_docs_v1_{n_turns}_{seed}"
         docs_file = f"{docs_dir}/documents.parquet"
         if not os.path.isfile(docs_file):
             # bench scaffolding, cached per corpus: curate's encoded

@@ -170,3 +170,13 @@ def test_minhash_exact_twin_equals_ground_truth(ray_session):
     truth = ngram_jaccard_pairs(sf).to_pandas()
     assert pairs(exact) == pairs(truth)
     assert len(exact) > 0
+
+
+def test_minhash_exact_twin_guards_scale(ray_session, monkeypatch):
+    """The all-pairs twin is O(n²) in ONE group task by construction —
+    past the documented cap it must raise a clear error, not OOM."""
+    from themis_search_engine_ray.pipelines import dedup
+
+    monkeypatch.setattr(dedup, "_EXACT_TWIN_MAX_DOCS", 10)
+    with pytest.raises(ValueError, match="all-pairs twin"):
+        dedup.minhash_pairs_exact("/root/testdata/sf0.001")

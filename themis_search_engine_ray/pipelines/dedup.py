@@ -798,6 +798,15 @@ def minhash_pairs_exact(
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n = ds.count()  # parquet metadata, no scan
+    if n > _EXACT_TWIN_MAX_DOCS:
+        # all pairs of n docs land in ONE group task: a clear error
+        # beats a 20 GB triu_indices OOM
+        raise ValueError(
+            f"minhash_pairs_exact is the O(n²) all-pairs twin for "
+            f"driver/test corpora (≤ {_EXACT_TWIN_MAX_DOCS} docs); got "
+            f"{n} — use minhash_pairs_ds (production banding) instead"
+        )
     candidates = _emit_pairs_sharded(
         ds.map_batches(
             lambda b: _minhash_band_rows(b, k, 1, 0),
@@ -810,6 +819,11 @@ def minhash_pairs_exact(
         max_clique=1 << 31,
     )
     return _verify_jaccard_pairs(ds, candidates, threshold, k, verify)
+
+
+# all-pairs twin cap: C(20k, 2) = 2e8 pairs ≈ 3.2 GB of index arrays in
+# the single bucket's group task — the most one worker should ever hold
+_EXACT_TWIN_MAX_DOCS = 20_000
 
 
 # ------------------------------------------------------------- SimHash

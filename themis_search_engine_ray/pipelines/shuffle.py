@@ -33,8 +33,30 @@ import pyarrow as pa
 _PREFIX_SPACE = 256  # two hex chars
 
 
+def _validate_num_shards(num_shards: int) -> None:
+    """num_shards is capped by the 2-hex prefix space: beyond 256 the
+    extra shards would be PERMANENTLY empty, silently breaking the
+    'size num_shards to the target file size' contract — rejected
+    instead. Public entry points validate up front so a bad export
+    fails before any manifest or shard is written, not mid-shuffle."""
+    if not 1 <= num_shards <= _PREFIX_SPACE:
+        raise ValueError(
+            f"num_shards must be in [1, {_PREFIX_SPACE}] (shards are "
+            f"2-hex-char key-prefix ranges); got {num_shards}"
+        )
+
+
+def _key_digest(doc_id: int, sfx: bytes) -> bytes:
+    """md5 digest of "<doc_id>:<seed>" — THE one key rule. Both
+    _shuffle_key (scalar consumers: curate, oracles) and _assign_keys
+    (the batch hot path) delegate here so they can never diverge; the
+    module invariant `global order == shard files concatenated` depends
+    on every consumer agreeing byte-for-byte."""
+    return hashlib.md5(b"%d" % doc_id + sfx).digest()
+
+
 def _shuffle_key(doc_id: int, seed: int) -> str:
-    return hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()
+    return _key_digest(doc_id, f":{seed}".encode()).hex()
 
 
 def _assign_keys(ids, seed: int, num_shards: int):
@@ -45,18 +67,11 @@ def _assign_keys(ids, seed: int, num_shards: int):
 
     One md5 per row (hot path: digest bytes reused for both the hex key
     and the shard — the first digest byte IS ``int(key[:2], 16)``, so
-    there is no second parse loop). num_shards is capped by the 2-hex
-    prefix space: beyond 256 the extra shards would be PERMANENTLY
-    empty, silently breaking the 'size num_shards to the target file
-    size' contract — rejected instead."""
-    if not 1 <= num_shards <= _PREFIX_SPACE:
-        raise ValueError(
-            f"num_shards must be in [1, {_PREFIX_SPACE}] (shards are "
-            f"2-hex-char key-prefix ranges); got {num_shards}"
-        )
-    md5 = hashlib.md5
+    there is no second parse loop)."""
+    _validate_num_shards(num_shards)
+    digest = _key_digest
     sfx = f":{seed}".encode()
-    digs = [md5(b"%d" % i + sfx).digest() for i in ids]
+    digs = [digest(i, sfx) for i in ids]
     keys = [d.hex() for d in digs]
     shards = (
         np.fromiter((d[0] for d in digs), np.int64, len(digs))
@@ -118,6 +133,7 @@ def shuffle_export(
 
     import ray.data as rd
 
+    _validate_num_shards(num_shards)
     os.makedirs(out_dir, exist_ok=True)
     # resume is only valid against the SAME (seed, num_shards): shard
     # files carry no parameters, so an unvalidated resume after a

@@ -187,13 +187,16 @@ def topk_terms_sketch(
     # + the global MG bound) — accounted for below.
     if cand_cap is None:
         cand_cap = max(64 * k, 4096)
+    # fetch cand_cap + 1 rows so "exactly cand_cap candidates exist" is
+    # distinguishable from actual truncation (no spurious warning)
     cand_tab = (
         agg.map_batches(drop_sentinel, batch_format="pyarrow")
         .sort(["est_count", "term"], descending=[True, False])
-        .limit(cand_cap)
+        .limit(cand_cap + 1)
         .to_pandas()
     )
-    truncated = len(cand_tab) == cand_cap
+    truncated = len(cand_tab) > cand_cap
+    cand_tab = cand_tab.iloc[:cand_cap]
     est_boundary = int(cand_tab["est_count"].iloc[-1]) if truncated else 0
     cand = frozenset(cand_tab["term"])
     cand_ref = ray.put(cand)

@@ -193,10 +193,11 @@ def citation_edges(entries, corpus_ids: "np.ndarray | None" = None):
         dsts = pc.list_flatten(cits_col).filter(pa.array(row_ok))
         src_str = pc.take(ids_col, pa.array(src_idx))
         # id64 per UNIQUE string (hex-prefix parse), then map
+        src_list = src_str.to_pylist()
         dst_list = dsts.to_pylist()
-        id_cache = {s: id64(s) for s in set(src_str.to_pylist()) | set(dst_list)}
+        id_cache = {s: id64(s) for s in set(src_list) | set(dst_list)}
         src64 = np.fromiter(
-            (id_cache[s] for s in src_str.to_pylist()), np.int64, len(src_idx)
+            (id_cache[s] for s in src_list), np.int64, len(src_idx)
         )
         dst64 = np.fromiter(
             (id_cache[s] for s in dst_list), np.int64, len(dst_list)

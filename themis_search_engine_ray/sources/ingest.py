@@ -30,11 +30,13 @@ def _count_input_rows(src_path: str, fmt: str, ds) -> int:
       (row-group counts), no scan;
     * json (JSONL) — one ``read_text().count()`` pass: line counting,
       no JSON parse (Ray's reader drops empty lines, as the JSON reader
-      effectively does);
+      effectively does; a whitespace-only line the JSON parser tolerates
+      would over-count by one — acceptable for a drop METRIC, vs the
+      retry double-count this replaced);
     * csv — one extra parse pass (``count()`` over a fresh read):
       RFC-4180 quoted newlines make raw line counting wrong, so the
       exact count costs a re-parse. Prefer JSONL/Parquet sources at
-      scale.
+      scale, or pass ``count_input=False`` to skip the metric.
 
     The previous design counted inside the normalize pass via a counter
     actor; Ray task retries/re-execution could double-count there, and
@@ -79,6 +81,7 @@ def ingest_transcripts(
     out_dir: str,
     fmt: str | None = None,
     rows_per_file: int = 65536,
+    count_input: bool = True,
 ) -> dict:
     """Normalize a JSONL / CSV / Parquet transcript source into the
     partitioned-Parquet layout the index build consumes.
@@ -118,7 +121,12 @@ def ingest_transcripts(
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
-    input_rows = _count_input_rows(src_path, fmt, ds)
+    # Parquet counts are metadata-only (free); text formats pay one
+    # extra source pass (lines for JSONL, a re-parse for CSV) — skip it
+    # with count_input=False when the dropped_rows metric isn't needed.
+    input_rows = (
+        _count_input_rows(src_path, fmt, ds) if count_input else None
+    )
     ds = ds.map_batches(_normalize, batch_format="pyarrow", zero_copy_batch=True)
     os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir, min_rows_per_file=rows_per_file)
@@ -129,6 +137,6 @@ def ingest_transcripts(
     return {
         "rows": rows,
         "files": len(files),
-        "dropped_rows": int(input_rows) - rows,
+        "dropped_rows": None if input_rows is None else int(input_rows) - rows,
         "out_dir": out_dir,
     }
