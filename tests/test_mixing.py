@@ -1,0 +1,86 @@
+"""Data mixing: waterfill planning math, threshold edges, and the
+deterministic splitmix64 sampler vs an exact numpy recompute."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from themis_search_engine_ray.pipelines.mixing import (
+    mix_plan,
+    mix_sample,
+    sample_threshold,
+    waterfill_rates,
+)
+from themis_search_engine_ray.pipelines.similarity import _splitmix64
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_waterfill_budget_conservation():
+    avail = {"a": 1000, "b": 500, "c": 2000}
+    rates = waterfill_rates(avail, 1400, {"a": 1.0, "b": 1.0, "c": 1.0})
+    got = sum(rates[s] * avail[s] for s in avail)
+    assert got == pytest.approx(1400, rel=1e-9)
+    assert all(0.0 <= r <= 1.0 for r in rates.values())
+
+
+def test_waterfill_saturation_redistributes():
+    # b can only hold 100 of its 700 share; the surplus flows to a and c
+    avail = {"a": 10_000, "b": 100, "c": 10_000}
+    rates = waterfill_rates(avail, 2100, {"a": 1.0, "b": 1.0, "c": 1.0})
+    assert rates["b"] == pytest.approx(1.0)  # saturated
+    assert rates["a"] * avail["a"] == pytest.approx(1000, rel=1e-9)
+    assert rates["c"] * avail["c"] == pytest.approx(1000, rel=1e-9)
+
+
+def test_waterfill_overbudget_and_zero_weight():
+    avail = {"a": 10, "b": 20, "c": 30}
+    rates = waterfill_rates(avail, 10_000, {"a": 1.0, "b": 1.0, "c": 0.0})
+    assert rates["a"] == rates["b"] == 1.0  # budget exceeds supply
+    assert rates["c"] == 0.0  # zero weight gets nothing
+
+
+def test_sample_threshold_edges():
+    assert sample_threshold(0.0) == -1
+    assert sample_threshold(-1.0) == -1
+    assert sample_threshold(1.0) == (1 << 64) - 1
+    assert sample_threshold(2.0) == (1 << 64) - 1
+    half = sample_threshold(0.5)
+    assert 0 < half < (1 << 64) - 1
+
+
+def test_mix_sample_matches_numpy_exactly(ray_session):
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0, "src3": 0.25}
+    got = mix_sample(SF, rates).to_pandas()
+    kept = set(got["doc_id"].astype(int))
+
+    tab = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    ids = tab["doc_id"].to_numpy().astype(np.uint64)
+    srcs = tab["source"].to_pylist()
+    h = _splitmix64(ids)
+    want = set()
+    for i, s, hv in zip(ids, srcs, h):
+        t = sample_threshold(rates.get(s, 0.0))
+        if t >= 0 and int(hv) <= t:
+            want.add(int(i))
+    assert kept == want
+    assert not any(s == "src2" for s in got["source"])  # rate 0 drops all
+    src0_total = sum(1 for s in srcs if s == "src0")
+    assert (got["source"] == "src0").sum() == src0_total  # rate 1 keeps all
+    # deterministic across runs
+    again = set(mix_sample(SF, rates).to_pandas()["doc_id"].astype(int))
+    assert again == kept
+
+
+def test_mix_plan_end_to_end(ray_session):
+    plan = mix_plan(SF, budget_tokens=0)  # zero budget: all rates 0
+    assert (plan["rate"] == 0.0).all()
+
+    counts = plan.set_index("source")["n_tokens"].astype(int)
+    total = int(counts.sum())
+    plan2 = mix_plan(SF, budget_tokens=total / 2)
+    planned = (plan2["rate"] * plan2["n_tokens"]).sum()
+    assert planned == pytest.approx(total / 2, rel=1e-6)
+    # and a huge budget keeps everything
+    plan3 = mix_plan(SF, budget_tokens=10 * total)
+    assert (plan3["rate"] == 1.0).all()
