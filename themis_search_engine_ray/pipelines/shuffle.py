@@ -59,24 +59,53 @@ def _shuffle_key(doc_id: int, seed: int) -> str:
     return _key_digest(doc_id, f":{seed}".encode()).hex()
 
 
+# keep per-chunk hex buffers under int32 StringArray offsets
+# (32 bytes/key ⇒ 16M keys ≈ 512 MB < 2^31)
+_KEY_CHUNK = 16_000_000
+
+
 def _assign_keys(ids, seed: int, num_shards: int):
     """(keys, shards) for a doc_id sequence — THE sharding rule. Every
     consumer (manifest, export, packing) must derive shards from this
     one function: the module invariant `global order == shard files
     concatenated` holds only while they agree.
 
-    One md5 per row (hot path: digest bytes reused for both the hex key
-    and the shard — the first digest byte IS ``int(key[:2], 16)``, so
-    there is no second parse loop)."""
+    Returns ``(pa.Array[string], np.ndarray[int64])``. One md5 per row
+    is irreducible (the key rule), but everything around it is
+    vectorized: digests are joined into one buffer, ``binascii.hexlify``
+    produces all hex keys in one C pass, the Arrow string column is
+    built zero-copy via ``StringArray.from_buffers``, and the shard is
+    the first digest byte sliced straight out of the joined buffer
+    (byte0 IS ``int(key[:2], 16)`` — no second parse loop)."""
+    import binascii
+
     _validate_num_shards(num_shards)
-    digest = _key_digest
+    md5 = hashlib.md5
     sfx = f":{seed}".encode()
-    digs = [digest(i, sfx) for i in ids]
-    keys = [d.hex() for d in digs]
+    key_chunks = []
+    byte0_chunks = []
+    ids = list(ids)
+    for lo in range(0, len(ids), _KEY_CHUNK):
+        chunk = ids[lo : lo + _KEY_CHUNK]
+        buf = b"".join(md5(b"%d" % i + sfx).digest() for i in chunk)
+        byte0_chunks.append(np.frombuffer(buf, dtype=np.uint8)[::16])
+        offs = np.arange(0, 32 * (len(chunk) + 1), 32, dtype=np.int32)
+        key_chunks.append(
+            pa.StringArray.from_buffers(
+                len(chunk),
+                pa.py_buffer(offs.tobytes()),
+                pa.py_buffer(binascii.hexlify(buf)),
+            )
+        )
+    if not ids:
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    keys = (
+        key_chunks[0]
+        if len(key_chunks) == 1
+        else pa.chunked_array(key_chunks).combine_chunks()
+    )
     shards = (
-        np.fromiter((d[0] for d in digs), np.int64, len(digs))
-        * num_shards
-        // _PREFIX_SPACE
+        np.concatenate(byte0_chunks).astype(np.int64) * num_shards // _PREFIX_SPACE
     )
     return keys, shards
 
@@ -91,11 +120,7 @@ def shuffle_manifest(sf_dir: str, seed: int = 0, num_shards: int = 16):
     def assign(batch: pa.Table) -> pa.Table:
         keys, shards = _assign_keys(batch["doc_id"].to_pylist(), seed, num_shards)
         return pa.Table.from_arrays(
-            [
-                batch["doc_id"],
-                pa.array(keys, pa.string()),
-                pa.array(shards),
-            ],
+            [batch["doc_id"], keys, pa.array(shards)],
             names=["doc_id", "shuffle_key", "shard"],
         )
 
@@ -195,11 +220,9 @@ def shuffle_export(
             keep &= _in_sorted(
                 ray.get(keep_ref), batch["doc_id"].to_numpy().astype(np.int64)
             )
-        out = batch.filter(pa.array(keep))
-        out = out.append_column(
-            "shuffle_key",
-            pa.array([k for k, m in zip(keys, keep) if m], pa.string()),
-        )
+        mask = pa.array(keep)
+        out = batch.filter(mask)
+        out = out.append_column("shuffle_key", keys.filter(mask))
         return out.append_column("shard", pa.array(shards[keep]))
 
     written = 0
@@ -298,7 +321,7 @@ def pack_offsets(sf_dir: str, seed: int = 0, num_shards: int = 16, seq_len: int 
         return pa.Table.from_pydict(
             {
                 "doc_id": batch["doc_id"],
-                "shuffle_key": pa.array(keys, pa.string()),
+                "shuffle_key": keys,
                 "shard": shards,
                 "n_tokens": n_tok.astype(np.int64),
             }
