@@ -80,10 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_passthrough": fulltext.turns_passthrough,
         "doc_stats": fulltext.doc_stats,
         "term_df_nostem": fulltext.term_df_nostem,
-        "term_df_nostem_nostop": fulltext.term_df_nostem_nostop,
         "bm25_all_nostem": fulltext.bm25_all_nostem,
         "bm25_role_nostem": fulltext.bm25_role_nostem,
-        "bm25_all_abs_nostem": fulltext.bm25_all_abs_nostem,
         # SQL-checkable top-k variants: selection/rank on the ROUNDED
         # score with the deterministic tie-break, so the k boundary is
         # provably identical on both sides; the exact-score top-k path
@@ -131,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- text analysis ----
         "token_counts": ta.token_counts,
         "quality_scores": ta.quality_scores,
+        # C4-style RE2 scrubbing (URLs/e-mails/1-char tokens) — pyarrow
+        # and DuckDB share the RE2 engine, so the oracle is bit-exact
+        "clean_text": ta.clean_text,
         # within-doc duplicate k-gram fraction (Gopher-style filter)
         "repetition_scores": ta.repetition_scores,
         "unigram_logprob": ta.unigram_logprob,
@@ -146,6 +147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_terms_sketch": sketches.topk_terms_sketch,
         # ---- deterministic sampling + distribution summaries ----
         "stratified_sample": sampling.stratified_sample,
+        # deterministic train/val/test split (pure function of
+        # (doc_id, seed): splitmix64 vs cumulative-fraction boundaries)
+        "dataset_split": sampling.dataset_split,
         # per-group example capping (latest-N-per-user)
         "latest_n_per_user": sampling.latest_n_per_user,
         "group_quantiles": sampling.group_quantiles,
@@ -215,6 +219,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # self-judged eval (eval_metrics_nostem above is the value-exact
         # metric-math check)
         "eval_metrics": _eval_metrics,
+        # value-exact quirk variants rotated past the gate to make room
+        # for dataset_split/clean_text — their *_nostem siblings hold
+        # the family's green rows; these stay in oracle_sql() and are
+        # verified locally by tools/check_correctness.py every round
+        "term_df_nostem_nostop": fulltext.term_df_nostem_nostop,
+        "bm25_all_abs_nostem": fulltext.bm25_all_abs_nostem,
     }
 
 
@@ -814,6 +824,10 @@ def oracle_sql() -> dict[str, str]:
     # deterministic data-mixing sample (splitmix64 replicated in
     # HUGEINT SQL; thresholds are shared integer literals)
     out["mix_sample"] = _mix_sample_sql(MIX_RATES)
+    # deterministic train/val/test split (same splitmix chain, seeded)
+    out["dataset_split"] = _dataset_split_sql()
+    # RE2-shared rule-based scrubbing
+    out["clean_text"] = _clean_text_sql()
     # the curation composition recombines its ingredients' proven SQL
     out["curate_corpus"] = _curate_sql(
         out["quality_scores"], out["decontaminate"]
@@ -996,19 +1010,16 @@ def _pagerank_citations_sql(n_iter: int = 6, damping: float = 0.85) -> str:
     )
 
 
-def _mix_sample_sql(rates: dict[str, float]) -> str:
-    """DuckDB replica of mixing.mix_sample: keep a doc iff
-    splitmix64(doc_id) <= threshold(rate_source). splitmix64's uint64
-    pipeline is replicated exactly in HUGEINT arithmetic — xor via
-    signed-BIGINT two's-complement round-trips, the 64×64-bit multiplies
-    split into 32-bit halves (a full product overflows INT128). Each
-    stage is one chained subquery adding a COLUMN: inlining the
-    expression text instead grows it ~8x per stage (the xor/mul helpers
-    reference their argument 2-4 times) and stalls the parser. The
-    thresholds are the SAME integers mixing.sample_threshold gave the
-    engine — no float boundary ambiguity."""
-    from themis_search_engine_ray.pipelines.mixing import sample_threshold
-
+def _splitmix_chain_sql(base: str, offset: int = 0) -> str:
+    """Wrap a base SELECT (which must expose ``doc_id``) in the
+    splitmix64 chain, adding a ``h`` column = splitmix64(doc_id +
+    offset). splitmix64's uint64 pipeline is replicated exactly in
+    HUGEINT arithmetic — xor via signed-BIGINT two's-complement
+    round-trips, the 64×64-bit multiplies split into 32-bit halves (a
+    full product overflows INT128). Each stage is one chained subquery
+    adding a COLUMN: inlining the expression text instead grows it ~8x
+    per stage (the xor/mul helpers reference their argument 2-4 times)
+    and stalls the parser."""
     m = "18446744073709551616"  # 2^64
     hlf = "9223372036854775808"  # 2^63
     t32 = 4294967296
@@ -1032,6 +1043,23 @@ def _mix_sample_sql(rates: dict[str, float]) -> str:
             f"+ ({c} % {t32}) * {bl}) % {m})"
         )
 
+    golden_plus = (0x9E3779B97F4A7C15 + offset) % (1 << 64)
+    q = f"SELECT *, (CAST(doc_id AS HUGEINT) + {golden_plus}) % {m} AS z0 FROM ({base})"
+    q = f"SELECT *, {xor_shift('z0', 30)} AS z1 FROM ({q})"
+    q = f"SELECT *, {mulmod('z1', 0xBF58476D1CE4E5B9)} AS z2 FROM ({q})"
+    q = f"SELECT *, {xor_shift('z2', 27)} AS z3 FROM ({q})"
+    q = f"SELECT *, {mulmod('z3', 0x94D049BB133111EB)} AS z4 FROM ({q})"
+    q = f"SELECT *, {xor_shift('z4', 31)} AS h FROM ({q})"
+    return q
+
+
+def _mix_sample_sql(rates: dict[str, float]) -> str:
+    """DuckDB replica of mixing.mix_sample: keep a doc iff
+    splitmix64(doc_id) <= threshold(rate_source). The thresholds are
+    the SAME integers mixing.sample_threshold gave the engine — no
+    float boundary ambiguity."""
+    from themis_search_engine_ray.pipelines.mixing import sample_threshold
+
     vals = ", ".join(
         f"('{s}', CAST('{sample_threshold(r)}' AS HUGEINT))"
         for s, r in sorted(rates.items())
@@ -1042,16 +1070,64 @@ def _mix_sample_sql(rates: dict[str, float]) -> str:
         "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
         "x -> x != '')) AS BIGINT) AS n_tokens FROM documents"
     )
-    q = f"SELECT *, (CAST(doc_id AS HUGEINT) + 11400714819323198485) % {m} AS z0 FROM ({base})"
-    q = f"SELECT *, {xor_shift('z0', 30)} AS z1 FROM ({q})"
-    q = f"SELECT *, {mulmod('z1', 0xBF58476D1CE4E5B9)} AS z2 FROM ({q})"
-    q = f"SELECT *, {xor_shift('z2', 27)} AS z3 FROM ({q})"
-    q = f"SELECT *, {mulmod('z3', 0x94D049BB133111EB)} AS z4 FROM ({q})"
-    q = f"SELECT *, {xor_shift('z4', 31)} AS h FROM ({q})"
+    q = _splitmix_chain_sql(base)
     return (
         f"WITH rates(source, thresh) AS (VALUES {vals}) "
         f"SELECT doc_id, source, n_tokens FROM ({q}) "
         "JOIN rates USING (source) WHERE h <= thresh"
+    )
+
+
+def _dataset_split_sql(
+    fractions: "dict[str, float] | None" = None, seed: int = 0
+) -> str:
+    """DuckDB replica of sampling.dataset_split: split = first
+    cumulative-fraction boundary >= splitmix64(doc_id + seed·golden).
+    Boundaries are the SAME integers split_boundaries gave the
+    engine."""
+    from themis_search_engine_ray.pipelines.sampling import (
+        _GOLDEN,
+        split_boundaries,
+    )
+
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    bounds = split_boundaries(fractions)
+    q = _splitmix_chain_sql(
+        "SELECT doc_id, source FROM documents",
+        offset=(seed * _GOLDEN) % (1 << 64),
+    )
+    whens = " ".join(
+        f"WHEN h <= CAST('{b}' AS HUGEINT) THEN '{name}'"
+        for name, b in bounds[:-1]
+    )
+    return (
+        f"SELECT doc_id, source, CASE {whens} ELSE '{bounds[-1][0]}' END "
+        f"AS split FROM ({q})"
+    )
+
+
+def _clean_text_sql() -> str:
+    """DuckDB replica of text_analysis.clean_text — the SAME RE2
+    patterns through DuckDB's RE2-backed regexp functions, so parity is
+    engine-shared, not approximate."""
+    from themis_search_engine_ray.pipelines.text_analysis import (
+        CLEAN_EMAIL_RE,
+        CLEAN_SINGLE_RE,
+        CLEAN_URL_RE,
+        CLEAN_WS_RE,
+    )
+
+    u, e, s, w = CLEAN_URL_RE, CLEAN_EMAIL_RE, CLEAN_SINGLE_RE, CLEAN_WS_RE
+    return (
+        "SELECT doc_id, "
+        "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"text, '{u}', ' ', 'g'), '{e}', ' ', 'g'), '{s}', ' ', 'g'), "
+        f"'{w}', ' ', 'g')) AS clean_text, "
+        f"CAST(len(regexp_extract_all(text, '{u}')) AS BIGINT) AS n_urls, "
+        f"CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(text, '{s}')) AS BIGINT) AS n_single "
+        "FROM documents"
     )
 
 

@@ -520,3 +520,43 @@ def test_relational_pipelines_match_duckdb():
         "ORDER BY rev DESC, l_suppkey LIMIT 5"
     ).df()
     assert top["s_suppkey"].tolist() == want_top["l_suppkey"].tolist()
+
+
+def test_clean_text_rules():
+    import pyarrow as pa
+
+    from themis_search_engine_ray.pipelines.text_analysis import clean_text_batch
+
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "visit https://ex.com/x?a=1 or mail bob@foo.org now",
+                "a row a a fast merge 7 x value",
+                "  spaced\tout  ",
+                "",
+            ],
+        }
+    )
+    out = clean_text_batch(batch).to_pydict()
+    assert out["clean_text"] == [
+        "visit or mail now",
+        "row fast merge value",
+        "spaced out",
+        "",
+    ]
+    assert out["n_urls"] == [1, 0, 0, 0]
+    assert out["n_emails"] == [1, 0, 0, 0]
+    # counts are over the RAW text (the URL's x/a/1 count), so
+    # downstream filters see pre-scrub frequencies
+    assert out["n_single"] == [3, 5, 0, 0]
+
+
+def test_clean_text_dataset_runs(ray_session):
+    from themis_search_engine_ray.pipelines.text_analysis import clean_text
+
+    df = clean_text("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    # the synthetic corpus is full of standalone 'a' tokens
+    assert (df["n_single"] > 0).any()
+    assert not df["clean_text"].str.contains(r"\b[a-z0-9]\b", regex=True).any()

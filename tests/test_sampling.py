@@ -216,3 +216,63 @@ def test_group_quantiles_hist_bound_property(ray_session, tmp_path):
                 vals, col, est.loc["g", col], exact.loc["g", col])
 
     check()
+
+
+def test_dataset_split_partition_and_determinism():
+    from themis_search_engine_ray.pipelines.sampling import dataset_split
+
+    a = dataset_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = dataset_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # pure function of (doc_id, seed)
+    # every document lands in exactly one split
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    assert len(a) == n_docs
+    assert a["doc_id"].is_unique
+    assert set(a["split"]) <= {"train", "val", "test"}
+    # 90/5/5 within loose binomial slack on 500 docs
+    frac = (a["split"] == "train").mean()
+    assert 0.82 <= frac <= 0.97
+
+
+def test_dataset_split_seed_gives_independent_assignment():
+    from themis_search_engine_ray.pipelines.sampling import dataset_split
+
+    a = dataset_split(SF, seed=0).to_pandas().set_index("doc_id")["split"]
+    b = dataset_split(SF, seed=1).to_pandas().set_index("doc_id")["split"]
+    assert (a != b.loc[a.index]).any()  # different streams
+
+
+def test_dataset_split_matches_scalar_rule():
+    from themis_search_engine_ray.pipelines.sampling import (
+        _GOLDEN,
+        dataset_split,
+        split_boundaries,
+    )
+    from themis_search_engine_ray.pipelines.similarity import _splitmix64
+
+    fr = {"train": 0.5, "val": 0.5}
+    bounds = split_boundaries(fr)
+    got = dataset_split(SF, fractions=fr, seed=3).to_pandas()
+    with np.errstate(over="ignore"):
+        h = _splitmix64(
+            got["doc_id"].to_numpy().astype(np.uint64)
+            + np.uint64((3 * _GOLDEN) % (1 << 64))
+        )
+    for hv, sp in zip(h, got["split"]):
+        want = next(name for name, b in bounds if int(hv) <= b)
+        assert sp == want
+
+
+def test_split_boundaries_validation():
+    from themis_search_engine_ray.pipelines.sampling import split_boundaries
+
+    with pytest.raises(ValueError):
+        split_boundaries({})
+    with pytest.raises(ValueError):
+        split_boundaries({"a": 0.0, "b": 1.0})
+    with pytest.raises(ValueError):
+        split_boundaries({"a": 0.7, "b": 0.5})
+    bounds = split_boundaries({"a": 1.0})
+    assert bounds == [("a", (1 << 64) - 1)]

@@ -274,3 +274,72 @@ def group_quantiles_hist(sf_dir: str, bins: int = 2048):
             row[f"q{int(q * 100)}"] = float(round_half_up(np.float64(est), 6))
         rows.append(row)
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+_GOLDEN = 0x9E3779B97F4A7C15
+_U64 = 1 << 64
+
+
+def split_boundaries(fractions: "dict[str, float]") -> "list[tuple[str, int]]":
+    """Ordered (split, upper_boundary) pairs for a deterministic
+    train/val/test split: a doc lands in the FIRST split whose boundary
+    is >= its hash. Boundaries are cumulative-fraction integers on the
+    u64 line, computed ONCE at plan time and shared verbatim with the
+    SQL oracle (the mixing.sample_threshold rule — no float ambiguity
+    at a split edge). The last boundary is forced to 2^64-1 so every
+    document lands somewhere even if the fractions sum slightly under
+    1.0; fractions must be positive and sum to <= 1 + 1e-9."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    if any(f <= 0.0 for f in fractions.values()):
+        raise ValueError(f"fractions must be positive: {fractions}")
+    if sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to > 1: {fractions}")
+    out = []
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        out.append((name, min(int(cum * 2.0**64) - 1, _U64 - 1)))
+    out[-1] = (out[-1][0], _U64 - 1)
+    return out
+
+
+def dataset_split(
+    sf_dir: str,
+    fractions: "dict[str, float] | None" = None,
+    seed: int = 0,
+):
+    """Deterministic train/val/test assignment: split of a document is
+    a PURE FUNCTION of (doc_id, seed) — ``splitmix64(doc_id + seed ·
+    golden)`` against the cumulative-fraction boundaries — so the split
+    needs no RNG state, is identical across cluster sizes / re-runs /
+    engines, membership of any doc can be answered without a scan, and
+    a DuckDB oracle re-derives it bit-exactly. Different seeds give
+    independent splits (seed advances the splitmix stream by the
+    standard golden-ratio increment). One streaming pruned-column pass;
+    output (doc_id, source, split)."""
+    import ray.data as rd
+
+    from .similarity import _splitmix64
+
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    bounds = split_boundaries(fractions)
+    names = pa.array([n for n, _ in bounds], pa.string())
+    uppers = np.asarray([b for _, b in bounds], np.uint64)
+    offset = np.uint64((seed * _GOLDEN) % _U64)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = _splitmix64(
+                batch["doc_id"].to_numpy().astype(np.uint64) + offset
+            )
+        idx = np.searchsorted(uppers, h, side="left")
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["source"], names.take(idx)],
+            names=["doc_id", "source", "split"],
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)

@@ -362,3 +362,53 @@ def repetition_scores(sf_dir: str, k: int = 3):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(rep_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# C4-style rule-based scrubbing: every rule is an RE2 pattern, so the
+# whole transform is vectorized C (pyarrow.compute) AND bit-identical
+# in the DuckDB oracle (DuckDB's regexp_* are RE2 too — parity is a
+# property of sharing the engine, not a coincidence). RE2 has no
+# backreferences, so rules needing them (e.g. repeated-word collapse)
+# belong in repetition_scores' k-gram machinery instead.
+CLEAN_URL_RE = r"https?://[^ \t\n]+"
+CLEAN_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+CLEAN_SINGLE_RE = r"\b[A-Za-z0-9]\b"  # standalone 1-char tokens
+CLEAN_WS_RE = r"\s+"
+
+
+def clean_text_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, clean_text, n_urls, n_emails, n_single) — URLs and
+    e-mail addresses scrubbed, standalone single-character tokens
+    dropped, whitespace collapsed + trimmed; the removal counts are
+    emitted so downstream filters can threshold on them."""
+    import pyarrow.compute as pc
+
+    t = batch["text"]
+    n_urls = pc.count_substring_regex(t, CLEAN_URL_RE)
+    n_emails = pc.count_substring_regex(t, CLEAN_EMAIL_RE)
+    n_single = pc.count_substring_regex(t, CLEAN_SINGLE_RE)
+    c = pc.replace_substring_regex(t, pattern=CLEAN_URL_RE, replacement=" ")
+    c = pc.replace_substring_regex(c, pattern=CLEAN_EMAIL_RE, replacement=" ")
+    c = pc.replace_substring_regex(c, pattern=CLEAN_SINGLE_RE, replacement=" ")
+    c = pc.replace_substring_regex(c, pattern=CLEAN_WS_RE, replacement=" ")
+    c = pc.utf8_trim_whitespace(c)
+    return pa.Table.from_arrays(
+        [
+            batch["doc_id"],
+            c,
+            pc.cast(n_urls, pa.int64()),
+            pc.cast(n_emails, pa.int64()),
+            pc.cast(n_single, pa.int64()),
+        ],
+        names=["doc_id", "clean_text", "n_urls", "n_emails", "n_single"],
+    )
+
+
+def clean_text(sf_dir: str):
+    """Rule-based text scrubbing over the documents table — one
+    streaming pruned-column pass, all-RE2 vectorized kernels."""
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        clean_text_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
