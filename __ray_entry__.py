@@ -103,7 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verified output is value-exact vs the all-pairs oracle
         "minhash_pairs_exact": dedup.minhash_pairs_exact,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
-        "embedding_dup_pairs_lsh": dedup.embedding_dup_pairs_lsh,
+        # hyperplane LSH with one zero-bit band: every vector in one
+        # bucket, recall provably 1.0 — the full LSH machinery verified
+        # value-exact against the all-pairs oracle (minhash trick)
+        "embedding_lsh_exact": dedup.embedding_lsh_exact,
         "dedup_clusters": dedup.dedup_clusters,
         # train/test decontamination: broadcast benchmark shingles,
         # one streaming pass, hash-probe + exact verify
@@ -198,6 +201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # production LSH banding (recall-probabilistic; exact twin:
         # minhash_pairs_exact; outputs exact-verified either way)
         "minhash_pairs": dedup.minhash_pairs,
+        # production hyperplane banding (recall-probabilistic; exact
+        # twin: embedding_lsh_exact; outputs exact-verified either way)
+        "embedding_dup_pairs_lsh": dedup.embedding_dup_pairs_lsh,
         # hamming-verified simhash (signature is blake2b-based — not
         # SQL-expressible; determinism+symmetry pytest-asserted)
         "simhash_pairs": dedup.simhash_pairs,
@@ -819,6 +825,9 @@ def oracle_sql() -> dict[str, str]:
     # minhash with the all-pairs degenerate banding (recall provably
     # 1.0) == the all-pairs Jaccard ground truth: same oracle
     out["minhash_pairs_exact"] = out["ngram_jaccard_pairs"]
+    # hyperplane LSH with the all-pairs degenerate banding (recall
+    # provably 1.0) == the blocked-exact cosine pairs: same oracle
+    out["embedding_lsh_exact"] = out["embedding_dup_pairs"]
     # synthetic-citations PageRank with the J4 corpus semi-join
     out["pagerank_citations"] = _pagerank_citations_sql()
     # deterministic data-mixing sample (splitmix64 replicated in

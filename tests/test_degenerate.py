@@ -180,3 +180,30 @@ def test_minhash_exact_twin_guards_scale(ray_session, monkeypatch):
     monkeypatch.setattr(dedup, "_EXACT_TWIN_MAX_DOCS", 10)
     with pytest.raises(ValueError, match="all-pairs twin"):
         dedup.minhash_pairs_exact("/root/testdata/sf0.001")
+
+
+def test_embedding_lsh_exact_equals_blocked_exact(ray_session):
+    """One zero-bit band => every vector in one bucket => candidate
+    recall provably 1.0: the degenerate LSH output must equal the
+    blocked-exact all-pairs pipeline row for row (the value-exact
+    driver twin's contract)."""
+    from themis_search_engine_ray.pipelines.dedup import (
+        embedding_dup_pairs,
+        embedding_lsh_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        embedding_lsh_exact(sf)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        embedding_dup_pairs(sf)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a.equals(b)

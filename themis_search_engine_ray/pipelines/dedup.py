@@ -1222,6 +1222,7 @@ def embedding_dup_pairs_lsh(
     bands: int = _HP_BANDS,
     bits: int = _HP_BITS,
     verify: str = "auto",
+    max_clique: int = _MAX_CLIQUE,
 ):
     """Near-dup pairs by cosine via random-hyperplane LSH — the scale
     path (sub-quadratic, documented recall).
@@ -1272,9 +1273,41 @@ def embedding_dup_pairs_lsh(
         ),
         ["band", "bucket"],
         dedupe=False,  # deduped driver-side below, with the id pull
+        max_clique=max_clique,
     )
 
     return _verify_cosine_pairs(ds, candidates, threshold, verify)
+
+
+def embedding_lsh_exact(sf_dir: str, threshold: float = 0.3, verify: str = "auto"):
+    """Hyperplane LSH degenerated to PROVABLE candidate recall 1.0 —
+    the value-exact driver twin of :func:`embedding_dup_pairs_lsh`
+    (the :func:`minhash_pairs_exact` trick on the cosine side).
+
+    The same pipeline stages run — hyperplane projection, band/bucket
+    packing, sharded bucket discovery, exact-cosine verification — but
+    with ONE band of ZERO sign bits every vector lands in the single
+    bucket 0, the candidate set is all pairs (star cap lifted), and
+    recall is exactly 1.0 by construction. The verified output
+    therefore equals the blocked-exact all-pairs result: the
+    ``embedding_dup_pairs`` DuckDB oracle is this function's oracle
+    too. O(n²) by construction — test/driver scale only; production
+    banding is :func:`embedding_dup_pairs_lsh`."""
+    import ray.data as rd
+
+    n = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).count()  # parquet metadata, no scan
+    if n > _EXACT_TWIN_MAX_DOCS:
+        raise ValueError(
+            f"embedding_lsh_exact is the O(n²) all-pairs twin for "
+            f"driver/test corpora (≤ {_EXACT_TWIN_MAX_DOCS} vectors); "
+            f"got {n} — use embedding_dup_pairs_lsh (production "
+            "banding) instead"
+        )
+    return embedding_dup_pairs_lsh(
+        sf_dir, threshold, bands=1, bits=0, verify=verify, max_clique=1 << 31
+    )
 
 
 _COS_SCHEMA = pa.schema(
