@@ -1110,10 +1110,14 @@ def _dataset_split_sql(
         f"WHEN h <= CAST('{b}' AS HUGEINT) THEN '{name}'"
         for name, b in bounds[:-1]
     )
-    return (
-        f"SELECT doc_id, source, CASE {whens} ELSE '{bounds[-1][0]}' END "
-        f"AS split FROM ({q})"
+    # a single split has no WHEN arms — CASE with only ELSE is a
+    # DuckDB parse error, so emit the literal directly
+    split_expr = (
+        f"CASE {whens} ELSE '{bounds[-1][0]}' END"
+        if whens
+        else f"'{bounds[-1][0]}'"
     )
+    return f"SELECT doc_id, source, {split_expr} AS split FROM ({q})"
 
 
 def _clean_text_sql() -> str:

@@ -534,7 +534,7 @@ def test_clean_text_rules():
                 "visit https://ex.com/x?a=1 or mail bob@foo.org now",
                 "a row a a fast merge 7 x value",
                 "  spaced\tout  ",
-                "",
+                "see https://x.com\rhello world",
             ],
         }
     )
@@ -543,13 +543,15 @@ def test_clean_text_rules():
         "visit or mail now",
         "row fast merge value",
         "spaced out",
-        "",
+        # the URL stops at the stray \r (\S excludes it): 'hello'
+        # must survive the scrub
+        "see hello world",
     ]
-    assert out["n_urls"] == [1, 0, 0, 0]
+    assert out["n_urls"] == [1, 0, 0, 1]
     assert out["n_emails"] == [1, 0, 0, 0]
     # counts are over the RAW text (the URL's x/a/1 count), so
     # downstream filters see pre-scrub frequencies
-    assert out["n_single"] == [3, 5, 0, 0]
+    assert out["n_single"] == [3, 5, 0, 1]
 
 
 def test_clean_text_dataset_runs(ray_session):

@@ -299,7 +299,16 @@ def split_boundaries(fractions: "dict[str, float]") -> "list[tuple[str, int]]":
     cum = 0.0
     for name, frac in fractions.items():
         cum += frac
-        out.append((name, min(int(cum * 2.0**64) - 1, _U64 - 1)))
+        b = min(int(cum * 2.0**64) - 1, _U64 - 1)
+        if b < 0 or (out and b <= out[-1][1]):
+            # a fraction below ~2^-64 yields boundary -1 (which wraps
+            # under uint64 and lets the split swallow everything) or a
+            # non-advancing boundary (an unreachable split): reject
+            raise ValueError(
+                f"fraction {frac!r} for split {name!r} is too small to "
+                "occupy any of the u64 hash line"
+            )
+        out.append((name, b))
     out[-1] = (out[-1][0], _U64 - 1)
     return out
 

@@ -47,11 +47,14 @@ def _validate_num_shards(num_shards: int) -> None:
 
 
 def _key_digest(doc_id: int, sfx: bytes) -> bytes:
-    """md5 digest of "<doc_id>:<seed>" — THE one key rule. Both
-    _shuffle_key (scalar consumers: curate, oracles) and _assign_keys
-    (the batch hot path) delegate here so they can never diverge; the
-    module invariant `global order == shard files concatenated` depends
-    on every consumer agreeing byte-for-byte."""
+    """md5 digest of "<doc_id>:<seed>" — THE one key rule.
+    _shuffle_key (scalar consumers: curate, oracles) delegates here;
+    _assign_keys (the batch hot path) inlines the same expression to
+    skip 10M+ function calls and GUARDS the inlining with a per-chunk
+    runtime assertion against this function, so the two can never
+    silently diverge; the module invariant `global order == shard
+    files concatenated` depends on every consumer agreeing
+    byte-for-byte."""
     return hashlib.md5(b"%d" % doc_id + sfx).digest()
 
 
@@ -88,6 +91,9 @@ def _assign_keys(ids, seed: int, num_shards: int):
     for lo in range(0, len(ids), _KEY_CHUNK):
         chunk = ids[lo : lo + _KEY_CHUNK]
         buf = b"".join(md5(b"%d" % i + sfx).digest() for i in chunk)
+        # the inlined expression above must stay byte-identical to the
+        # scalar key rule (curate + SQL oracles go through _key_digest)
+        assert buf[:16] == _key_digest(chunk[0], sfx)
         byte0_chunks.append(np.frombuffer(buf, dtype=np.uint8)[::16])
         offs = np.arange(0, 32 * (len(chunk) + 1), 32, dtype=np.int32)
         key_chunks.append(
@@ -99,10 +105,14 @@ def _assign_keys(ids, seed: int, num_shards: int):
         )
     if not ids:
         return pa.array([], pa.string()), np.zeros(0, np.int64)
+    # NEVER combine_chunks here: concatenating >~67M 32-char keys
+    # overflows int32 StringArray offsets — the exact limit the
+    # chunking avoids. ChunkedArray flows through filter /
+    # Table.from_arrays / from_pydict unchanged.
     keys = (
         key_chunks[0]
         if len(key_chunks) == 1
-        else pa.chunked_array(key_chunks).combine_chunks()
+        else pa.chunked_array(key_chunks)
     )
     shards = (
         np.concatenate(byte0_chunks).astype(np.int64) * num_shards // _PREFIX_SPACE

@@ -370,7 +370,10 @@ def repetition_scores(sf_dir: str, k: int = 3):
 # property of sharing the engine, not a coincidence). RE2 has no
 # backreferences, so rules needing them (e.g. repeated-word collapse)
 # belong in repetition_scores' k-gram machinery instead.
-CLEAN_URL_RE = r"https?://[^ \t\n]+"
+# \S (not a hand-rolled char class): the URL must stop at EVERY
+# whitespace kind CLEAN_WS_RE collapses (\r \f \v included), else a
+# stray carriage return lets the match swallow the following words
+CLEAN_URL_RE = r"https?://\S+"
 CLEAN_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 CLEAN_SINGLE_RE = r"\b[A-Za-z0-9]\b"  # standalone 1-char tokens
 CLEAN_WS_RE = r"\s+"
