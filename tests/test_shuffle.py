@@ -165,3 +165,47 @@ def test_shuffle_manifest_matches_export(tmp_path):
         assert sorted(t["doc_id"].to_pylist()) == sorted(grp["doc_id"])
         keys = t["shuffle_key"].to_pylist()
         assert keys == sorted(keys)  # intra-shard sorted by key
+
+
+def test_split_export_partitions_the_corpus(ray_session, tmp_path):
+    """Exporting every split with the in-pass hash-range filter must
+    partition the corpus exactly as dataset_split assigns it, each
+    split internally in its global shuffled order."""
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.sampling import dataset_split
+    from themis_search_engine_ray.pipelines.shuffle import shuffle_export
+
+    sf = "/root/testdata/sf0.001"
+    fr = {"train": 0.8, "val": 0.2}
+    want = dataset_split(sf, fractions=fr, seed=5).to_pandas()
+    got = {}
+    for name in fr:
+        out = tmp_path / name
+        stats = shuffle_export(
+            sf, str(out), seed=1, num_shards=4, split=(name, fr, 5)
+        )
+        files = sorted(p for p in out.iterdir() if p.suffix == ".parquet")
+        assert len(files) == 4
+        tabs = [pq.read_table(f) for f in files]
+        keys = [k for t in tabs for k in t["shuffle_key"].to_pylist()]
+        assert keys == sorted(keys)  # shards concatenated = global order
+        ids = {i for t in tabs for i in t["doc_id"].to_pylist()}
+        assert stats["rows"] == len(ids)
+        got[name] = ids
+    assert got["train"] & got["val"] == set()
+    for name in fr:
+        assert got[name] == set(
+            want.loc[want["split"] == name, "doc_id"]
+        )
+
+
+def test_split_export_resume_refuses_other_split(ray_session, tmp_path):
+    from themis_search_engine_ray.pipelines.shuffle import shuffle_export
+
+    sf = "/root/testdata/sf0.001"
+    fr = {"train": 0.8, "val": 0.2}
+    out = tmp_path / "x"
+    shuffle_export(sf, str(out), seed=1, num_shards=2, split=("train", fr, 0))
+    with pytest.raises(ValueError, match="refusing to resume"):
+        shuffle_export(sf, str(out), seed=1, num_shards=2, split=("val", fr, 0))

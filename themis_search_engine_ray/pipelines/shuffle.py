@@ -145,6 +145,7 @@ def shuffle_export(
     seed: int = 0,
     num_shards: int = 16,
     keep_ids: "np.ndarray | None" = None,
+    split: "tuple[str, dict, int] | None" = None,
 ) -> dict:
     """Write the corpus in deterministic shuffled order: one Parquet
     file per key-prefix shard, rows sorted by shuffle_key inside it.
@@ -162,7 +163,13 @@ def shuffle_export(
 
     ``keep_ids`` (optional): export only these doc_ids (e.g. the
     curated set) — a sorted broadcastable array, filtered in the same
-    single pass. Returns {shards_written, shards_skipped, rows,
+    single pass. For corpus-sized keeps use ``split`` instead: a
+    ``(name, fractions, split_seed)`` triple selecting one
+    :func:`..pipelines.sampling.dataset_split` split by its PURE-ROW
+    hash-range rule — filtered in the same pass with nothing
+    materialized anywhere (the scale path for exporting a shuffled
+    train split: an id list of the majority split would be
+    corpus-sized). Returns {shards_written, shards_skipped, rows,
     out_dir}."""
     import json
 
@@ -179,18 +186,39 @@ def shuffle_export(
     if keep_ids is not None:
         keep_sorted = np.unique(np.asarray(keep_ids, np.int64))
         keep_digest = hashlib.md5(keep_sorted.tobytes()).hexdigest()
+    # resolve the split selection to an integer hash range (lo, hi]:
+    # pure plan-time math, pinned verbatim in the manifest
+    split_range = None
+    split_offset = None
+    if split is not None:
+        from .sampling import _GOLDEN, _U64, split_boundaries
+
+        name, fractions, split_seed = split
+        bounds = split_boundaries(fractions)
+        names = [n for n, _ in bounds]
+        if name not in names:
+            raise ValueError(f"split {name!r} not in {names}")
+        i = names.index(name)
+        lo = -1 if i == 0 else bounds[i - 1][1]
+        split_range = (int(lo), int(bounds[i][1]))
+        split_offset = (int(split_seed) * _GOLDEN) % _U64
     manifest_path = os.path.join(out_dir, "shuffle_manifest.json")
     params = {
         "format": "shuffle-prefix-shards-v1",
         "seed": int(seed),
         "num_shards": int(num_shards),
         "keep_digest": keep_digest,
+        "split_range": list(split_range) if split_range else None,
+        "split_offset": split_offset,
     }
     if os.path.isfile(manifest_path):
         with open(manifest_path) as f:
             existing = json.load(f)
-        # manifests written before keep_digest existed mean "unfiltered"
+        # manifests written before keep_digest/split existed mean
+        # "unfiltered"
         existing.setdefault("keep_digest", None)
+        existing.setdefault("split_range", None)
+        existing.setdefault("split_offset", None)
         if existing != params:
             raise ValueError(
                 f"out_dir {out_dir!r} holds a shuffle with parameters "
@@ -222,6 +250,19 @@ def shuffle_export(
     def assign_full(batch: pa.Table) -> pa.Table:
         keys, shards = _assign_keys(batch["doc_id"].to_pylist(), seed, num_shards)
         keep = np.asarray([s not in done for s in shards], bool)
+        if split_range is not None:
+            from .similarity import _splitmix64
+
+            with np.errstate(over="ignore"):
+                h = _splitmix64(
+                    batch["doc_id"].to_numpy().astype(np.uint64)
+                    + np.uint64(split_offset)
+                )
+            lo, hi = split_range
+            # lo is -1 for the first split: every u64 h is > lo then
+            keep &= (h <= np.uint64(hi)) & (
+                h > np.uint64(lo) if lo >= 0 else True
+            )
         if keep_ref is not None:
             import ray
 
