@@ -338,6 +338,16 @@ def run_bench(build_only: bool = False) -> dict:
     best = {k: min(r[k] for r in runs) for k in runs[0]}
     ex0 = extras_runs[0]
 
+    # non-headline extra: clean_text throughput over the 30k-doc
+    # fixture run_suite cached — reported as its own rate, NOT summed
+    # into the headline (keeps cross-round headline comparability)
+    from themis_search_engine_ray.pipelines.text_analysis import clean_text
+
+    docs_dir = f"/tmp/themis_bench_docs_v1_{n_turns}_{seed}"
+    t0 = time.time()
+    n_clean = clean_text(docs_dir).count()
+    clean_sec = time.time() - t0
+
     # optional large-corpus build point: driver-visible throughput floor
     # at ~8x the headline corpus (BASELINE.md records the same regime)
     big = {}
@@ -385,6 +395,7 @@ def run_bench(build_only: bool = False) -> dict:
         "minhash_pairs": ex0["minhash_pairs"],
         "distinct_terms": ex0["distinct_terms"],
         "curated_rows": ex0["curated_rows"],
+        "clean_docs_per_sec": round(n_clean / clean_sec, 1),
         "repeats": repeats,
         "spread": {
             k: [round(r[k], 3) for r in runs] for k in runs[0]
