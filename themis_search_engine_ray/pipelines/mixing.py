@@ -69,18 +69,21 @@ def source_token_counts(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n_tok = doc_token_counts(batch)
-        src = batch["source"].to_pylist()
-        agg: dict[str, list[int]] = {}
-        for s, t in zip(src, n_tok):
-            row = agg.setdefault(s or "", [0, 0])
-            row[0] += 1
-            row[1] += int(t)
+        # dictionary-encode + bincount: Python touches only the few
+        # UNIQUE sources, never the rows
+        enc = pc.fill_null(batch["source"], "").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        n_src = len(enc.dictionary)
         return pa.Table.from_pydict(
             {
-                "source": pa.array(list(agg.keys()), pa.string()),
-                "n_docs": pa.array([v[0] for v in agg.values()], pa.int64()),
-                "n_tokens": pa.array([v[1] for v in agg.values()], pa.int64()),
+                "source": enc.dictionary,
+                "n_docs": np.bincount(codes, minlength=n_src).astype(np.int64),
+                "n_tokens": np.bincount(
+                    codes, weights=n_tok, minlength=n_src
+                ).astype(np.int64),
             }
         )
 
