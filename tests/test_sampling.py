@@ -276,3 +276,41 @@ def test_split_boundaries_validation():
         split_boundaries({"a": 0.7, "b": 0.5})
     bounds = split_boundaries({"a": 1.0})
     assert bounds == [("a", (1 << 64) - 1)]
+
+
+def test_split_boundaries_properties():
+    """Property test: for any valid fractions dict the boundaries are
+    strictly increasing, end at 2^64-1, and each split's hash-line
+    share is within one ulp-scaled slot of its fraction."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from themis_search_engine_ray.pipelines.sampling import split_boundaries
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=1e-6, max_value=1.0),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(weights):
+        total = sum(weights)
+        fractions = {f"s{i}": w / total for i, w in enumerate(weights)}
+        if sum(fractions.values()) > 1.0 + 1e-9:
+            return
+        bounds = split_boundaries(fractions)
+        uppers = [b for _, b in bounds]
+        assert uppers == sorted(uppers)
+        assert len(set(uppers)) == len(uppers)  # strictly increasing
+        assert uppers[-1] == (1 << 64) - 1
+        prev = -1
+        for (name, b), frac in zip(bounds, fractions.values()):
+            share = (b - prev) / 2.0**64
+            # the final boundary absorbs the float residue of the
+            # cumulative sum; everyone is within ~2 float ulps of 1.0
+            assert abs(share - frac) < 1e-9 + 2e-16 * 2.0**0
+            prev = b
+
+    check()
