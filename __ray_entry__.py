@@ -178,8 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _round_cols(["sum_value"]), batch_format="pyarrow"
         ),
         # ---- multimodal (stub codecs, real plumbing) ----
-        # the typed media TABLE itself (synthesize_media ingest surface)
-        # is value-exact; only the pluggable decode stays rows-only
+        # both the typed media TABLE and the fake-decoder features are
+        # value-exact (dims derive from the manifest checksum); only
+        # the real-codec plug (_decode_real) is environment-forced
         "media_manifest": lambda sf: multimodal.synthesize_media(sf).select_columns(
             ["media_id", "media_type", "n_bytes", "checksum"]
         ),
@@ -813,8 +814,7 @@ def oracle_sql() -> dict[str, str]:
         # pytest-bounded, outputs exact-verified), ivf_knn (pruning —
         # ivf_knn_full is value-exact), distinct_terms_hll /
         # group_quantiles_hist (approximate by construction,
-        # pytest-bounded), glove_expansion (trained model),
-        # media_features (stub codecs — media_manifest is value-exact).
+        # pytest-bounded), glove_expansion (trained model).
     }
     # deterministic rounded-score top-k wrappers over the *_all bases
     out["bm25_topk_nostem"] = _topk_wrap(out["bm25_all_nostem"])
@@ -837,6 +837,8 @@ def oracle_sql() -> dict[str, str]:
     out["dataset_split"] = _dataset_split_sql()
     # RE2-shared rule-based scrubbing
     out["clean_text"] = _clean_text_sql()
+    # fake-decoder dims are a pure function of the manifest checksum
+    out["media_features"] = _media_features_sql()
     # the curation composition recombines its ingredients' proven SQL
     out["curate_corpus"] = _curate_sql(
         out["quality_scores"], out["decontaminate"]
@@ -1118,6 +1120,35 @@ def _dataset_split_sql(
         else f"'{bounds[-1][0]}'"
     )
     return f"SELECT doc_id, source, {split_expr} AS split FROM ({q})"
+
+
+def _media_features_sql() -> str:
+    """DuckDB replica of the FAKE media decode: height/width/n_frames
+    derive from md5(payload) hex digits (the manifest checksum), so the
+    decode plumbing is value-exact end-to-end; only the real-codec plug
+    (`decoder="stub"` → `_decode_real`) stays environment-forced. Hex
+    nibbles parse via strpos digit math (DuckDB has no hex→int cast)."""
+
+    def hex4(start: int) -> str:  # 1-based start of a 4-hex-digit run
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr(ck, {start + j}, 1)) - 1) "
+            f"* {16 ** (3 - j)}"
+            for j in range(4)
+        )
+
+    return (
+        "WITH m AS (SELECT doc_id AS media_id, "
+        "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' "
+        "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, "
+        "md5(coalesce(text, '') || coalesce(text, '') || coalesce(text, '')) "
+        "AS ck FROM documents) "
+        f"SELECT media_id, media_type, "
+        f"CAST(16 + ({hex4(1)}) % 1008 AS INTEGER) AS height, "
+        f"CAST(16 + ({hex4(5)}) % 1008 AS INTEGER) AS width, "
+        f"CAST(CASE WHEN media_type = 'image' THEN 1 "
+        f"ELSE 1 + ({hex4(9)}) % 299 END AS INTEGER) AS n_frames "
+        "FROM m"
+    )
 
 
 def _clean_text_sql() -> str:

@@ -89,11 +89,15 @@ class MediaDecoder:
         )
 
     def _decode_fake(self, media_type: str, payload: bytes):
-        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "little")
-        rng = np.random.RandomState(seed)
-        h = int(rng.randint(16, 1024))
-        w = int(rng.randint(16, 1024))
-        frames = 1 if media_type == "image" else int(rng.randint(1, 300))
+        # dims derive from md5(payload) hex digits — the SAME checksum
+        # the manifest records — so the fake decode is a pure function
+        # a DuckDB oracle replicates digit-for-digit (the plumbing is
+        # value-exact end-to-end even though the codec is a stand-in)
+        ck = hashlib.md5(payload).hexdigest()
+        h = 16 + int(ck[0:4], 16) % 1008  # [16, 1024)
+        w = 16 + int(ck[4:8], 16) % 1008
+        frames = 1 if media_type == "image" else 1 + int(ck[8:12], 16) % 299
+        rng = np.random.RandomState(int(ck[12:20], 16))
         feat = rng.rand(FEATURE_DIM).astype(np.float32)
         return h, w, frames, feat
 
