@@ -187,9 +187,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": lambda sf: multimodal.media_features(sf).select_columns(
             ["media_id", "media_type", "height", "width", "n_frames"]
         ),
-        # ---- query expansion (M10/M11; GloVe path uses a REAL
-        # corpus-trained PPMI-SVD model — rows-only) ----
-        "glove_expansion": _glove_expansion,
+        # ---- query expansion (M10/M11) ----
+        # the M10 lexicon/actor machinery over the corpus vocabulary,
+        # value-exact (the md5-derived stub lexicon is replicated in
+        # SQL); the composed-query word-cap quirks are pytest-golden
+        "wordnet_synonyms": _wordnet_synonyms,
         # ================= entries past the driver's 50-entry gate ====
         # (rows-only twins; every one is shadowed by a value-exact
         # sibling above and/or a pytest bound — see each note)
@@ -226,6 +228,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # self-judged eval (eval_metrics_nostem above is the value-exact
         # metric-math check)
         "eval_metrics": _eval_metrics,
+        # M11 end to end with a REAL corpus-trained PPMI-SVD model
+        # (SVD is not SQL-expressible — rows-only; the expansion
+        # family's green row is the value-exact wordnet_synonyms)
+        "glove_expansion": _glove_expansion,
         # value-exact quirk variants rotated past the gate to make room
         # for dataset_split/clean_text — their *_nostem siblings hold
         # the family's green rows; these stay in oracle_sql() and are
@@ -233,6 +239,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_nostem_nostop": fulltext.term_df_nostem_nostop,
         "bm25_all_abs_nostem": fulltext.bm25_all_abs_nostem,
     }
+
+
+def _wordnet_synonyms(sf_dir: str):
+    from themis_search_engine_ray.stages.expansion import wordnet_synonyms
+
+    return wordnet_synonyms(sf_dir)
 
 
 def _glove_expansion(sf_dir: str):
@@ -839,6 +851,8 @@ def oracle_sql() -> dict[str, str]:
     out["clean_text"] = _clean_text_sql()
     # fake-decoder dims are a pure function of the manifest checksum
     out["media_features"] = _media_features_sql()
+    # md5-derived stub lexicon replicated digit-for-digit
+    out["wordnet_synonyms"] = _wordnet_synonyms_sql()
     # the curation composition recombines its ingredients' proven SQL
     out["curate_corpus"] = _curate_sql(
         out["quality_scores"], out["decontaminate"]
@@ -1120,6 +1134,27 @@ def _dataset_split_sql(
         else f"'{bounds[-1][0]}'"
     )
     return f"SELECT doc_id, source, {split_expr} AS split FROM ({q})"
+
+
+def _wordnet_synonyms_sql() -> str:
+    """DuckDB replica of stages.expansion.wordnet_synonyms: distinct
+    [a-z0-9]+ tokens of the lowered corpus, pseudo-POS-filtered by the
+    first md5 hex byte, each admitted term emitting its two md5-derived
+    stub-lexicon senses."""
+    hexpair = (
+        "(strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16 "
+        "+ (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1)"
+    )
+    return (
+        "WITH toks AS (SELECT DISTINCT unnest(list_filter("
+        "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS term "
+        "FROM documents), "
+        f"content AS (SELECT term FROM toks WHERE ({hexpair}) % 4 != 3) "
+        "SELECT term, CAST(0 AS BIGINT) AS sense, "
+        "term || substr(md5(term || '|0'), 1, 3) AS synonym FROM content "
+        "UNION ALL SELECT term, CAST(1 AS BIGINT), "
+        "term || ' ' || substr(md5(term || '|1'), 1, 3) FROM content"
+    )
 
 
 def _media_features_sql() -> str:

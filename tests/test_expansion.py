@@ -193,3 +193,29 @@ def test_default_query_expander_is_distributional(ray_session, tmp_path):
     got = dict(zip(res["query"], res["expanded"]))
     assert got["zork"].split()[:2] == ["zork", "blivet"]
     assert got["quux"].split()[:2] == ["quux", "fnord"]
+
+
+def test_wordnet_synonyms_matches_scalar_lexicon(ray_session):
+    """The distributed vocabulary expansion must equal the scalar stub
+    lexicon applied to the corpus's distinct tokens."""
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.stages.expansion import (
+        StubSynonymLexicon,
+        wordnet_synonyms,
+    )
+    from themis_search_engine_ray.stages.tokenize import token_codes_batch
+
+    sf = "/root/testdata/sf0.001"
+    got = wordnet_synonyms(sf).to_pandas()
+    tab = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+    uniq, _, _, _ = token_codes_batch(tab["text"], lower_first=True)
+    lex = StubSynonymLexicon()
+    want = {
+        (t, i, s)
+        for t in set(uniq)
+        if t
+        for i, s in enumerate(lex.synonyms(t))
+    }
+    assert set(zip(got["term"], got["sense"], got["synonym"])) == want
+    assert len(got) == len(want)  # no duplicate rows

@@ -47,16 +47,18 @@ class StubSynonymLexicon:
 
     def is_content_word(self, token: str) -> bool:
         # stands in for the POS filter (noun/verb/adj/adv — EXTJWNL
-        # getPos); deterministic pseudo-POS from the token hash
-        h = hashlib.blake2b(token.encode(), digest_size=2).digest()
-        return h[0] % 4 != 3  # ~75% of tokens "content words"
+        # getPos); deterministic pseudo-POS from the token hash.
+        # md5 (not blake2b): DuckDB has md5(), so the whole stub is
+        # replicable in SQL and the lexicon/actor machinery gets a
+        # value-exact driver entry (wordnet_synonyms)
+        return int(hashlib.md5(token.encode()).hexdigest()[:2], 16) % 4 != 3
 
     def synonyms(self, token: str) -> list[str]:
         if not self.is_content_word(token):
             return []
         out = []
         for i in range(self.n_senses):
-            h = hashlib.blake2b(f"{token}|{i}".encode(), digest_size=4).hexdigest()
+            h = hashlib.md5(f"{token}|{i}".encode()).hexdigest()
             # every other sense is a two-word lemma, like WordNet collocations
             out.append(f"{token}{h[:3]}" if i % 2 == 0 else f"{token} {h[:3]}")
         return out
@@ -205,5 +207,68 @@ def expand_queries(queries: list[str], expander_cls=WordNetExpander, concurrency
         fn_constructor_kwargs=kw,
         concurrency=min(concurrency, max(1, len(queries))),
         batch_size=max(1, len(queries) // max(1, concurrency)),
+        batch_format="pyarrow",
+    )
+
+
+class VocabularyExpander:
+    """``map_batches`` actor stage mapping distinct corpus terms to
+    their lexicon synonyms: (term) → (term, sense, synonym) rows,
+    non-content words dropped. The lexicon is constructed once per
+    actor (T4 state), exactly like :class:`WordNetExpander`."""
+
+    def __init__(self, lexicon=None):
+        self.lexicon = lexicon if lexicon is not None else StubSynonymLexicon()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms, senses, syns = [], [], []
+        for t in batch["term"].to_pylist():
+            for i, s in enumerate(self.lexicon.synonyms(t or "")):
+                terms.append(t)
+                senses.append(i)
+                syns.append(s)
+        return pa.Table.from_arrays(
+            [
+                pa.array(terms, pa.string()),
+                pa.array(senses, pa.int64()),
+                pa.array(syns, pa.string()),
+            ],
+            names=["term", "sense", "synonym"],
+        )
+
+
+def wordnet_synonyms(sf_dir: str, concurrency: int = 2):
+    """Corpus-vocabulary expansion through the actor-pool lexicon —
+    the M10 machinery with a driver-verifiable surface: (term, sense,
+    synonym) for every distinct [a-z0-9]+ token of the lowered corpus
+    that the pseudo-POS filter admits. One pruned pass emits per-batch
+    unique terms, a bounded ``groupby(term)`` dedupes globally, the
+    actor pool maps terms to synonyms. The stub lexicon derives from
+    md5, so a DuckDB oracle replicates every row; the composed-query
+    semantics (EXTJWNL word-cap quirks) stay pytest-golden in
+    test_expansion."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..stages.tokenize import token_codes_batch
+
+    def batch_terms(batch: pa.Table) -> pa.Table:
+        uniq, _codes, _lens, _n = token_codes_batch(
+            batch["text"], lower_first=True
+        )
+        terms = [t for t in uniq if t]
+        return pa.Table.from_pydict({"term": pa.array(terms, pa.string())})
+
+    terms = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(batch_terms, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .count()
+        .select_columns(["term"])
+    )
+    return terms.map_batches(
+        VocabularyExpander,
+        concurrency=concurrency,
+        batch_size=4096,
         batch_format="pyarrow",
     )
