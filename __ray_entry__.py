@@ -600,7 +600,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_manifest": (
             "SELECT doc_id AS media_id, "
-            "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' "
+            "CASE CAST(((doc_id % 3) + 3) % 3 AS INTEGER) WHEN 0 THEN 'image' "
             "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, "
             "CAST(3 * octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes, "
             "md5(coalesce(text, '') || coalesce(text, '') || coalesce(text, '')) "
@@ -1173,7 +1173,7 @@ def _media_features_sql() -> str:
 
     return (
         "WITH m AS (SELECT doc_id AS media_id, "
-        "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' "
+        "CASE CAST(((doc_id % 3) + 3) % 3 AS INTEGER) WHEN 0 THEN 'image' "
         "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, "
         "md5(coalesce(text, '') || coalesce(text, '') || coalesce(text, '')) "
         "AS ck FROM documents) "

@@ -47,6 +47,14 @@ def _corpus_dir(n_turns: int, seed: int) -> str:
     return f"/tmp/themis_bench_corpus_v2_{n_turns}_{seed}"
 
 
+def _docs_fixture_dir(n_turns: int, seed: int) -> str:
+    # v1 = fixture derivation version: bump when the sampling rule /
+    # doc-key code changes so a stale cached fixture never feeds a
+    # timed run (ONE definition — run_suite and the clean_text extra
+    # must agree on the path)
+    return f"/tmp/themis_bench_docs_v1_{n_turns}_{seed}"
+
+
 def run_bench(build_only: bool = False) -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -249,10 +257,7 @@ def run_bench(build_only: bool = False) -> dict:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        # v1 in the path = fixture derivation version: bump when the
-        # sampling rule / doc-key code changes so a stale cached fixture
-        # never feeds the timed run
-        docs_dir = f"/tmp/themis_bench_docs_v1_{n_turns}_{seed}"
+        docs_dir = _docs_fixture_dir(n_turns, seed)
         docs_file = f"{docs_dir}/documents.parquet"
         if not os.path.isfile(docs_file):
             # bench scaffolding, cached per corpus: curate's encoded
@@ -343,7 +348,7 @@ def run_bench(build_only: bool = False) -> dict:
     # into the headline (keeps cross-round headline comparability)
     from themis_search_engine_ray.pipelines.text_analysis import clean_text
 
-    docs_dir = f"/tmp/themis_bench_docs_v1_{n_turns}_{seed}"
+    docs_dir = _docs_fixture_dir(n_turns, seed)
     t0 = time.time()
     n_clean = clean_text(docs_dir).count()
     clean_sec = time.time() - t0

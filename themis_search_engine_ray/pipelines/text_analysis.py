@@ -370,9 +370,11 @@ def repetition_scores(sf_dir: str, k: int = 3):
 # property of sharing the engine, not a coincidence). RE2 has no
 # backreferences, so rules needing them (e.g. repeated-word collapse)
 # belong in repetition_scores' k-gram machinery instead.
-# \S (not a hand-rolled char class): the URL must stop at EVERY
-# whitespace kind CLEAN_WS_RE collapses (\r \f \v included), else a
-# stray carriage return lets the match swallow the following words
+# \S (not a hand-rolled char class): the URL stops at everything RE2
+# counts as whitespace — space \t \n \f \r — so a stray carriage
+# return/form feed can't let the match swallow the following words.
+# (RE2's \s does NOT include \v; both pyarrow and DuckDB agree, so
+# engine/oracle parity holds either way.)
 CLEAN_URL_RE = r"https?://\S+"
 CLEAN_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 CLEAN_SINGLE_RE = r"\b[A-Za-z0-9]\b"  # standalone 1-char tokens

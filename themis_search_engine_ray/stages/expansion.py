@@ -247,7 +247,6 @@ def wordnet_synonyms(sf_dir: str, concurrency: int = 2):
     md5, so a DuckDB oracle replicates every row; the composed-query
     semantics (EXTJWNL word-cap quirks) stay pytest-golden in
     test_expansion."""
-    import numpy as np
     import ray.data as rd
 
     from ..stages.tokenize import token_codes_batch

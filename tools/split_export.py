@@ -38,7 +38,10 @@ def parse_fractions(spec: str) -> dict:
         name, _, frac = part.partition("=")
         if not name or not frac:
             raise SystemExit(f"bad --fractions component {part!r}")
-        out[name.strip()] = float(frac)
+        try:
+            out[name.strip()] = float(frac)
+        except ValueError:
+            raise SystemExit(f"bad --fractions component {part!r}")
     return out
 
 
