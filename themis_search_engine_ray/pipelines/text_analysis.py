@@ -34,24 +34,24 @@ _BPEISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 
 
 def token_counts_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, n_chars, n_ws_tokens, n_alnum_tokens, n_bpeish_tokens)."""
-    texts = batch["text"].to_pylist()
-    n = len(texts)
-    n_ws = np.empty(n, np.int64)
-    n_al = np.empty(n, np.int64)
-    n_bp = np.empty(n, np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        n_ws[i] = len(t.split())
-        n_al[i] = len(_ALNUM_RE.findall(t))
-        n_bp[i] = len(_BPEISH_RE.findall(t))
+    """(doc_id, n_chars, n_ws_tokens, n_alnum_tokens, n_bpeish_tokens).
+
+    All three token counts are RE2 ``count_substring_regex`` kernels —
+    no per-row Python, and the whitespace rule is RE2's ``\\s`` on BOTH
+    sides of the oracle (``str.split()`` additionally splits on unicode
+    whitespace like NBSP, which the SQL ``string_split_regex('\\s+')``
+    oracle never did — the vectorized count removes that latent
+    divergence)."""
+    t = pc.fill_null(batch["text"], "")
+    counts = [
+        pc.count_substring_regex(t, pat)
+        for pat in (r"\S+", _ALNUM_RE.pattern, _BPEISH_RE.pattern)
+    ]
     return pa.Table.from_arrays(
         [
             batch["doc_id"],
-            pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
-            pa.array(n_ws),
-            pa.array(n_al),
-            pa.array(n_bp),
+            pc.cast(pc.utf8_length(t), pa.int64()),
+            *[pc.cast(c, pa.int64()) for c in counts],
         ],
         names=["doc_id", "n_chars", "n_ws_tokens", "n_alnum_tokens", "n_bpeish_tokens"],
     )
