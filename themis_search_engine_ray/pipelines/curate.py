@@ -35,7 +35,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from .decontaminate import _is_benchmark, benchmark_shingles, shared_shingle_counts
+from .decontaminate import benchmark_shingles, shared_shingle_counts
 from .shuffle import _shuffle_key
 from .text_analysis import quality_batch
 
@@ -62,9 +62,9 @@ def curate_corpus(
         ids = batch["doc_id"].to_numpy()
         texts = batch["text"].to_pylist()
         th = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
-        held = np.asarray(
-            [_is_benchmark(int(i), held_hex) for i in ids], bool
-        )
+        from .sampling import md5_prefix4_le
+
+        held = md5_prefix4_le(ids.tolist(), held_hex)
         shared = shared_shingle_counts(batch["text"], bset_, bhash_, k)
         quality = quality_batch(batch)["quality_score"].to_numpy()
         keepable = (~held) & (shared == 0) & (quality >= quality_min)

@@ -49,10 +49,9 @@ def benchmark_shingles(
     from .dedup import shingle_hash_str
 
     def bench_rows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        keep = np.asarray(
-            [_is_benchmark(int(i), threshold_hex) for i in ids], bool
-        )
+        from .sampling import md5_prefix4_le
+
+        keep = md5_prefix4_le(batch["doc_id"].to_pylist(), threshold_hex)
         sub = batch.filter(pa.array(keep))
         shingles = sorted(
             {s for t in sub["text"].to_pylist() for s in _shingles(t, k)}
@@ -109,11 +108,10 @@ def decontaminate(sf_dir: str, threshold_hex: str = "0147", k: int = 3):
     )
 
     def flag(batch: pa.Table) -> pa.Table:
+        from .sampling import md5_prefix4_le
+
         bset, bhash = ray.get(bench_ref)
-        ids = batch["doc_id"].to_numpy()
-        train = np.asarray(
-            [not _is_benchmark(int(i), threshold_hex) for i in ids], bool
-        )
+        train = ~md5_prefix4_le(batch["doc_id"].to_pylist(), threshold_hex)
         sub = batch.filter(pa.array(train))
         if sub.num_rows == 0 or bhash.size == 0:
             return empty

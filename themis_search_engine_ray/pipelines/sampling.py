@@ -30,6 +30,39 @@ def _md5_prefix4(x: int) -> str:
     return hashlib.md5(str(x).encode()).hexdigest()[:4]
 
 
+def md5_prefix4_le(ids, threshold_hex: str) -> "np.ndarray":
+    """Vectorized ``md5(str(id))[:4] <= threshold_hex`` for an id
+    sequence — THE held-out/sample membership rule (shared by
+    stratified_sample, decontaminate and curate). One md5 per row is
+    irreducible; everything else is batch work: digests join into one
+    buffer and the 4-hex-char prefix compare is the first two digest
+    bytes as a big-endian uint16 against ``int(threshold_hex, 16)``
+    (hex strings compare lexicographically iff their values compare,
+    at equal length). Guarded per call against the scalar rule so the
+    two can never silently diverge."""
+    if len(threshold_hex) != 4 or any(
+        c not in "0123456789abcdef" for c in threshold_hex
+    ):
+        # the scalar rule is a STRING compare vs the lowercase
+        # hexdigest; only a 4-char lowercase threshold makes that
+        # equivalent to the numeric compare used here
+        raise ValueError(
+            f"threshold_hex must be 4 lowercase hex chars; got {threshold_hex!r}"
+        )
+    ids = list(ids)
+    if not ids:
+        return np.zeros(0, bool)
+    md5 = hashlib.md5
+    buf = b"".join(md5(str(i).encode()).digest() for i in ids)
+    b = np.frombuffer(buf, np.uint8)
+    prefix = (
+        b[::16].astype(np.uint32) * 256 + b[1::16].astype(np.uint32)
+    )
+    out = prefix <= int(threshold_hex, 16)
+    assert bool(out[0]) == (_md5_prefix4(ids[0]) <= threshold_hex)
+    return out
+
+
 def stratified_sample(sf_dir: str, threshold_hex: str = "1999"):
     """Rows of ``documents`` kept iff md5(doc_id)[:4] <= threshold_hex
     (~fraction int(threshold_hex, 16)/65535; '1999' ≈ 10%). Returns
@@ -37,10 +70,7 @@ def stratified_sample(sf_dir: str, threshold_hex: str = "1999"):
     import ray.data as rd
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        mask = np.asarray(
-            [_md5_prefix4(i) <= threshold_hex for i in ids], bool
-        )
+        mask = md5_prefix4_le(batch["doc_id"].to_pylist(), threshold_hex)
         return batch.filter(pa.array(mask))
 
     return (
