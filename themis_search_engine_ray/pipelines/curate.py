@@ -30,13 +30,10 @@ the composition itself is too — the oracle recombines the same SQL.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
 from .decontaminate import benchmark_shingles, shared_shingle_counts
-from .shuffle import _shuffle_key
 from .text_analysis import quality_batch
 
 
@@ -58,12 +55,12 @@ def curate_corpus(
     ref = ray.put((bset, bhash))
 
     def tag(batch: pa.Table) -> pa.Table:
-        bset_, bhash_ = ray.get(ref)
-        ids = batch["doc_id"].to_numpy()
-        texts = batch["text"].to_pylist()
-        th = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        from .dedup import md5_hex_array
         from .sampling import md5_prefix4_le
 
+        bset_, bhash_ = ray.get(ref)
+        ids = batch["doc_id"].to_numpy()
+        th = md5_hex_array(batch["text"].to_pylist())
         held = md5_prefix4_le(ids.tolist(), held_hex)
         shared = shared_shingle_counts(batch["text"], bset_, bhash_, k)
         quality = quality_batch(batch)["quality_score"].to_numpy()
@@ -80,9 +77,7 @@ def curate_corpus(
                 f"got range [{ids.min()}, {ids.max()}]"
             )
         keyed = ids * 2 + (1 - keepable.astype(np.int64))
-        return pa.Table.from_pydict(
-            {"text_hash": pa.array(th, pa.string()), "keyed": keyed}
-        )
+        return pa.Table.from_pydict({"text_hash": th, "keyed": keyed})
 
     kept = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -92,15 +87,16 @@ def curate_corpus(
     )
 
     def finish(batch: pa.Table) -> pa.Table:
+        from .shuffle import _assign_keys
+
         kk = batch["kk"].to_numpy()
         keep = kk % 2 == 0
         ids = (kk[keep] // 2).astype(np.int64)
-        keys = [_shuffle_key(int(i), seed) for i in ids]
+        # num_shards=1: only the key column is wanted; _assign_keys is
+        # the batch twin of the scalar _shuffle_key rule
+        keys, _ = _assign_keys(ids.tolist(), seed, 1)
         return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "shuffle_key": pa.array(keys, pa.string()),
-            }
+            {"doc_id": pa.array(ids, pa.int64()), "shuffle_key": keys}
         )
 
     return kept.map_batches(finish, batch_format="pyarrow")

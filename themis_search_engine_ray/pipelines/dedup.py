@@ -342,15 +342,37 @@ def minhash_signature(sh_hashes: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------- exact
 
 
+def md5_hex_array(texts: "list[str | None]") -> pa.Array:
+    """Vectorized md5-hex of a text sequence (None → "") — THE exact-
+    dedup content-hash rule, shared with curate. One md5 per row is
+    irreducible; the hex column is built in bulk (digests joined into
+    one buffer, one hexlify pass, zero-copy StringArray) instead of a
+    per-row hexdigest+str. Batches must stay under int32 string
+    offsets (~67M rows — far above any map_batches block)."""
+    import binascii
+
+    if not texts:
+        return pa.array([], pa.string())
+    assert len(texts) < 16_000_000, "chunk the batch before hashing"
+    md5 = hashlib.md5
+    buf = b"".join(md5((t or "").encode()).digest() for t in texts)
+    offs = np.arange(0, 32 * (len(texts) + 1), 32, dtype=np.int32)
+    return pa.StringArray.from_buffers(
+        len(texts),
+        pa.py_buffer(offs.tobytes()),
+        pa.py_buffer(binascii.hexlify(buf)),
+    )
+
+
 def exact_dedup(sf_dir: str):
     """Kept doc per distinct text (min doc_id) — (doc_id, text_hash)."""
     import ray.data as rd
     from ray.data.aggregate import Min
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.md5((t or "").encode()).hexdigest() for t in batch["text"].to_pylist()]
         return pa.Table.from_arrays(
-            [batch["doc_id"], pa.array(hs, pa.string())], names=["doc_id", "text_hash"]
+            [batch["doc_id"], md5_hex_array(batch["text"].to_pylist())],
+            names=["doc_id", "text_hash"],
         )
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
