@@ -219,6 +219,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pruned IVF (recall < 1 by design; ivf_knn_full above is the
         # value-exact machinery check)
         "ivf_knn": similarity.ivf_knn,
+        # LSH-bucketed ANN (training-free scale path): the zero-bit-band
+        # twin is value-exact vs the brute oracle; the production
+        # banding is recall-measured in pytest
+        "lsh_knn_full": similarity.lsh_knn_full,
+        "lsh_knn": similarity.lsh_knn,
         # Porter-stemmed variants (Porter is pytest-golden-vector
         # tested; the *_nostem twins above are value-exact)
         "term_df": fulltext.term_df,
@@ -834,6 +839,9 @@ def oracle_sql() -> dict[str, str]:
     out["phrase_topk_nostem"] = _topk_wrap(out["phrase_all_nostem"])
     # IVF with every list probed == brute force: same oracle
     out["ivf_knn_full"] = out["knn_brute"]
+    # LSH-bucketed ANN with one zero-bit band (recall provably 1.0)
+    # == exact brute force: same oracle
+    out["lsh_knn_full"] = out["knn_brute"]
     # minhash with the all-pairs degenerate banding (recall provably
     # 1.0) == the all-pairs Jaccard ground truth: same oracle
     out["minhash_pairs_exact"] = out["ngram_jaccard_pairs"]

@@ -562,3 +562,46 @@ def test_clean_text_dataset_runs(ray_session):
     # the synthetic corpus is full of standalone 'a' tokens
     assert (df["n_single"] > 0).any()
     assert not df["clean_text"].str.contains(r"\b[a-z0-9]\b", regex=True).any()
+
+
+def test_lsh_knn_full_equals_brute(ray_session):
+    """One zero-bit band => all vectors candidates => the LSH-bucketed
+    ANN must reproduce exact brute-force top-k row for row (the
+    value-exact twin's contract)."""
+    from themis_search_engine_ray.pipelines.similarity import (
+        knn_brute,
+        lsh_knn_full,
+    )
+
+    full = (
+        lsh_knn_full(SF)
+        .to_pandas()
+        .sort_values(["qid", "vec_id"])
+        .reset_index(drop=True)
+    )
+    brute = (
+        knn_brute(SF)
+        .to_pandas()
+        .sort_values(["qid", "vec_id"])
+        .reset_index(drop=True)
+    )
+    assert len(full) > 0
+    assert full.equals(brute)
+
+
+def test_lsh_knn_recall(ray_session):
+    """Default banding recall@k vs brute (deterministic: seeded
+    hyperplanes, deterministic query set). Measured 0.84 on this
+    corpus; floor leaves margin for testdata regeneration."""
+    from themis_search_engine_ray.pipelines.similarity import knn_brute, lsh_knn
+
+    brute = knn_brute(SF).to_pandas()
+    approx = lsh_knn(SF).to_pandas()
+    bset = set(zip(brute["qid"], brute["vec_id"]))
+    aset = set(zip(approx["qid"], approx["vec_id"]))
+    assert len(bset) > 0
+    assert len(aset & bset) / len(bset) >= 0.6
+    # every emitted cosine is exact: approx rows are a subset of what
+    # brute would score for those pairs
+    merged = approx.merge(brute, on=["qid", "vec_id"], how="inner")
+    assert (merged["cosine_x"] == merged["cosine_y"]).all()

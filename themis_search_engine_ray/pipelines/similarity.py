@@ -253,3 +253,107 @@ def ivf_knn(sf_dir: str, k: int = 5, n_queries: int = 10, n_lists: int = 8, npro
         .groupby("qid")
         .map_groups(reduce_topk, batch_format="pyarrow")
     )
+
+
+def _band_buckets(mat: np.ndarray, H: np.ndarray, bands: int, bits: int) -> np.ndarray:
+    """(n, bands) int64 bucket ids: sign bits of ``mat @ H`` packed per
+    band. bits=0 packs to bucket 0 everywhere (the recall-1.0
+    degenerate banding)."""
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    signs = (mat @ H) > 0  # (n, bands*bits)
+    return signs.reshape(mat.shape[0], bands, bits).astype(np.int64) @ weights
+
+
+def lsh_knn(sf_dir: str, k: int = 5, n_queries: int = 10, bands: int = 16, bits: int = 4):
+    """LSH-bucketed ANN — the second scale path beside :func:`ivf_knn`:
+    random-hyperplane band buckets instead of centroid lists, so there
+    is NO training pass at all (the 'index' is a broadcast (dim,
+    bands·bits) matrix, a pure function of the seed — any worker, any
+    cluster size, any re-run derives the same buckets).
+
+    A vector is a candidate for a query iff they share a bucket in ≥1
+    band (recall for angle θ is ``1-(1-(1-θ/π)^bits)^bands``; measured
+    against :func:`knn_brute` in tests). Per batch: one matmul for the
+    sign bits, one (n, Q) band-equality mask, exact cosine rescoring of
+    candidates only, per-batch partial top-k — shuffle volume stays
+    #batches × #queries × k, never the corpus. Same output schema and
+    deterministic tie-break as :func:`knn_brute`.
+
+    ``bits=0`` degenerates every band to bucket 0 — candidate recall
+    provably 1.0 and output identical to :func:`knn_brute`
+    (:func:`lsh_knn_full`, the value-exact driver twin)."""
+    import ray
+    import ray.data as rd
+
+    from .dedup import _hyperplanes
+
+    qids, qmat = load_queries(sf_dir, n_queries)
+    qn = _normalized(qmat)
+    if qn.size == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"qid": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        )
+    H = _hyperplanes(qn.shape[1], bands * bits)
+    q_buckets = _band_buckets(qn, H, bands, bits)  # (Q, bands)
+    ref = ray.put((qids, qn, H, q_buckets))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, qn_, H_, qb_ = ray.get(ref)
+        vids = batch["vec_id"].to_numpy()
+        mat = _normalized(_embedding_matrix(batch["embedding"]))
+        vb = _band_buckets(mat, H_, bands, bits)  # (n, bands)
+        # candidate iff any band bucket matches: (n, Q) via bands
+        # small-dim broadcasting — one comparison per (vec, query, band)
+        match = (vb[:, None, :] == qb_[None, :, :]).any(axis=2)  # (n, Q)
+        cos = qn_ @ mat.T  # (Q, n)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(qids_.size):
+            probe_mask = match[:, qi] & (vids != qids_[qi])
+            if not probe_mask.any():
+                continue
+            row = cos[qi][probe_mask]
+            pv = vids[probe_mask]
+            kk = min(k, pv.size)
+            # deterministic selection — see knn_brute.partial_topk
+            sel = np.lexsort((pv, -row))[:kk]
+            out_q.extend([qids_[qi]] * sel.size)
+            out_v.extend(pv[sel].tolist())
+            out_c.extend(row[sel].tolist())
+        return pa.Table.from_pydict(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        qid = group["qid"][0].as_py()
+        vids = group["vec_id"].to_numpy()
+        cos = group["cosine"].to_numpy()
+        order = np.lexsort((vids, -cos))[: min(k, vids.size)]
+        return pa.Table.from_pydict(
+            {
+                "qid": pa.array([qid] * order.size, pa.int64()),
+                "vec_id": vids[order],
+                "cosine": round_half_up(cos[order], 6),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qid")
+        .map_groups(reduce_topk, batch_format="pyarrow")
+    )
+
+
+def lsh_knn_full(sf_dir: str, k: int = 5, n_queries: int = 10):
+    """:func:`lsh_knn` with one zero-bit band — candidate recall
+    provably 1.0, output == :func:`knn_brute` (its oracle is this
+    function's oracle too)."""
+    return lsh_knn(sf_dir, k=k, n_queries=n_queries, bands=1, bits=0)
