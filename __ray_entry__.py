@@ -689,14 +689,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type"
         ),
         "tumbling_counts": (
+            # fixed-point-exact: sums over integer cents are independent
+            # of accumulation order (float sums are not — a 10x-scale
+            # spot check caught a 1-ulp avg flip between Ray's
+            # block-order partials and DuckDB's scan order)
             "SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS window_start, "
             "event_type, CAST(count(*) AS BIGINT) AS n_events, "
-            "round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value "
+            "round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6) AS sum_value, "
+            "round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 6) AS avg_value "
             "FROM events GROUP BY 1, 2"
         ),
         "sliding_counts": (
             "SELECT (CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - t.i) * 900 AS window_start, "
-            "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6) AS sum_value "
             "FROM events, range(4) t(i) "
             "WHERE (CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - t.i) >= 0 "
             "GROUP BY 1"
@@ -713,7 +719,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(sid AS BIGINT) AS session_idx, "
             "CAST(min(tus) // 1000000 AS BIGINT) AS session_start, "
             "CAST(max(tus) // 1000000 AS BIGINT) AS session_end, "
-            "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6) AS sum_value "
             "FROM sids GROUP BY 1, 2"
         ),
         "dedup_exact": (

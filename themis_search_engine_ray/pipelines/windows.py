@@ -22,6 +22,16 @@ built shuffle-consciously:
 
 All flavors are DuckDB-SQL-expressible (epoch arithmetic / lag+cumsum
 window functions), so the driver checks them value-exactly.
+
+Fixed-point-exact aggregation (``decimals``, default 2): the events
+fixture's ``value`` column is fixed-point with 2 decimals, so sums run
+over scaled int64 — EXACT and independent of accumulation order, which
+float sums are not (a 10x-scale spot check caught a 1-ulp avg_value
+flip between Ray's block-order partial sums and DuckDB's scan-order
+sum — the classic float-reduction reproducibility trap; integer cents
+make the result identical on any engine, any partitioning, any
+re-run). Pass ``decimals=None`` for raw float semantics on
+arbitrary-precision values.
 """
 
 from __future__ import annotations
@@ -32,29 +42,48 @@ import pyarrow as pa
 EPOCH_US = 1_000_000
 
 
+def _scaled_int(col, decimals: int) -> np.ndarray:
+    """value → exact scaled int64 (values must be fixed-point with at
+    most ``decimals`` decimals; asserted within float tolerance)."""
+    v = col.to_numpy() * (10.0**decimals)
+    r = np.round(v)
+    if v.size and np.abs(v - r).max() > 1e-6:
+        raise ValueError(
+            f"value column is not fixed-point with {decimals} decimals; "
+            "pass decimals=None for float aggregation"
+        )
+    return r.astype(np.int64)
+
+
 def _events(sf_dir: str, columns):
     import ray.data as rd
 
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
-def tumbling_counts(sf_dir: str, width_s: int = 3600):
+def tumbling_counts(sf_dir: str, width_s: int = 3600, decimals: "int | None" = 2):
     """Per (hour window, event_type): count + sum(value) + mean(value).
 
     window_start is epoch-seconds of the window's left edge."""
     from ray.data.aggregate import Count, Mean, Sum
 
     width_us = width_s * EPOCH_US
+    scale = None if decimals is None else 10.0**decimals
 
     def assign(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy()  # µs since epoch
         win = (ts // width_us) * width_s
+        val = (
+            batch["value"]
+            if scale is None
+            else pa.array(_scaled_int(batch["value"], decimals))
+        )
         return pa.Table.from_arrays(
-            [pa.array(win), batch["event_type"], batch["value"]],
+            [pa.array(win), batch["event_type"], val],
             names=["window_start", "event_type", "value"],
         )
 
-    return (
+    agg = (
         _events(sf_dir, ["ts", "event_type", "value"])
         .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["window_start", "event_type"])
@@ -64,9 +93,32 @@ def tumbling_counts(sf_dir: str, width_s: int = 3600):
             Mean("value", alias_name="avg_value"),
         )
     )
+    if scale is None:
+        return agg
+
+    def unscale(batch: pa.Table) -> pa.Table:
+        s = batch["sum_value"].to_numpy().astype(np.float64) / scale
+        n = batch["n_events"].to_numpy()
+        return pa.Table.from_arrays(
+            [
+                batch["window_start"],
+                batch["event_type"],
+                batch["n_events"],
+                pa.array(s),
+                pa.array(s / n),  # ONE division: same IEEE op as the oracle
+            ],
+            names=["window_start", "event_type", "n_events", "sum_value", "avg_value"],
+        )
+
+    return agg.map_batches(unscale, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def sliding_counts(sf_dir: str, width_s: int = 3600, slide_s: int = 900):
+def sliding_counts(
+    sf_dir: str,
+    width_s: int = 3600,
+    slide_s: int = 900,
+    decimals: "int | None" = 2,
+):
     """Sliding windows: every window of ``width_s`` advancing by
     ``slide_s`` that covers the event (width/slide replicas per event)."""
     from ray.data.aggregate import Count, Sum
@@ -74,6 +126,7 @@ def sliding_counts(sf_dir: str, width_s: int = 3600, slide_s: int = 900):
     assert width_s % slide_s == 0
     reps = width_s // slide_s
     slide_us = slide_s * EPOCH_US
+    scale = None if decimals is None else 10.0**decimals
 
     def assign(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy()
@@ -81,32 +134,52 @@ def sliding_counts(sf_dir: str, width_s: int = 3600, slide_s: int = 900):
         starts = (
             last[:, None] - np.arange(reps, dtype=np.int64)[None, :]
         ).ravel() * slide_s
-        vals = np.repeat(batch["value"].to_numpy(), reps)
+        vals = (
+            batch["value"].to_numpy()
+            if scale is None
+            else _scaled_int(batch["value"], decimals)
+        )
+        vals = np.repeat(vals, reps)
         keep = starts >= 0  # drop windows starting before the epoch
         return pa.Table.from_arrays(
             [pa.array(starts[keep]), pa.array(vals[keep])],
             names=["window_start", "value"],
         )
 
-    return (
+    agg = (
         _events(sf_dir, ["ts", "value"])
         .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("window_start")
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
+    if scale is None:
+        return agg
+
+    def unscale(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"),
+            "sum_value",
+            pa.array(batch["sum_value"].to_numpy().astype(np.float64) / scale),
+        )
+
+    return agg.map_batches(unscale, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def sessionize(sf_dir: str, gap_s: int = 1800):
+def sessionize(sf_dir: str, gap_s: int = 1800, decimals: "int | None" = 2):
     """Per-user sessions split at inactivity gaps > ``gap_s``: one row
     per session with start/end epoch-seconds, event count, value sum."""
     gap_us = gap_s * EPOCH_US
+    scale = None if decimals is None else 10.0**decimals
 
     def sessions(group: pa.Table) -> pa.Table:
         uid = int(group["user_id"][0].as_py())
         ts = group["ts"].cast(pa.int64()).to_numpy()
         order = np.argsort(ts, kind="stable")
         ts = ts[order]
-        val = group["value"].to_numpy()[order]
+        if scale is None:
+            val = group["value"].to_numpy()[order]
+        else:
+            val = _scaled_int(group["value"], decimals)[order]
         new = np.empty(ts.size, bool)
         new[0] = True
         new[1:] = (ts[1:] - ts[:-1]) > gap_us
@@ -115,7 +188,11 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
         starts = ts[new]
         ends = np.maximum.reduceat(ts, np.flatnonzero(new))
         counts = np.bincount(sid, minlength=n_sessions)
-        sums = np.bincount(sid, weights=val, minlength=n_sessions)
+        sums = np.bincount(sid, weights=val.astype(np.float64), minlength=n_sessions)
+        if scale is not None:
+            # per-session event counts are small: the float-weighted
+            # bincount of exact integers stays exact well under 2^53
+            sums = sums / scale
         return pa.Table.from_arrays(
             [
                 pa.array(np.full(n_sessions, uid, np.int64)),
