@@ -1271,14 +1271,14 @@ def embedding_dup_pairs_lsh(
     dim = len(ds.take(1)[0]["embedding"])
     H = _hyperplanes(dim, bands * bits)  # sized to the caller's banding
     h_ref = ray.put(H)
-    weights = (1 << np.arange(bits, dtype=np.int64))
 
     def band_rows(batch: pa.Table) -> pa.Table:
+        # THE banding rule lives in similarity._band_buckets (shared
+        # with lsh_knn so the two can never drift)
+        from .similarity import _band_buckets
+
         ids, mat = _embedding_matrix(batch)
-        bits_mat = (mat @ ray.get(h_ref)) > 0  # (n, bands*bits)
-        buckets = (
-            bits_mat.reshape(len(ids), bands, bits).astype(np.int64) @ weights
-        )  # (n, bands)
+        buckets = _band_buckets(mat, ray.get(h_ref), bands, bits)  # (n, bands)
         return pa.Table.from_pydict(
             {
                 "vec_id": np.repeat(ids, bands),

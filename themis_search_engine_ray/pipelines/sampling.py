@@ -45,9 +45,11 @@ def md5_prefix4_le(ids, threshold_hex: str) -> "np.ndarray":
     ):
         # the scalar rule is a STRING compare vs the lowercase
         # hexdigest; only a 4-char lowercase threshold makes that
-        # equivalent to the numeric compare used here
-        raise ValueError(
-            f"threshold_hex must be 4 lowercase hex chars; got {threshold_hex!r}"
+        # equivalent to the numeric fast path below. Other thresholds
+        # stay DEFINED (the public entry points always accepted them)
+        # via the scalar rule itself
+        return np.asarray(
+            [_md5_prefix4(int(i)) <= threshold_hex for i in ids], bool
         )
     ids = list(ids)
     if not ids:

@@ -118,6 +118,28 @@ def sample_embeddings(sf_dir: str, cap: int = 4096):
     )
 
 
+def _make_reduce_topk(k: int):
+    """THE final top-k reduce shared by brute/IVF/LSH — one definition
+    so the tie-break (cosine desc, vec_id asc) and rounding can never
+    drift between the pipelines (the value-exact twin contracts depend
+    on identical reduce semantics)."""
+
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        qid = group["qid"][0].as_py()
+        vids = group["vec_id"].to_numpy()
+        cos = group["cosine"].to_numpy()
+        order = np.lexsort((vids, -cos))[: min(k, vids.size)]
+        return pa.Table.from_pydict(
+            {
+                "qid": pa.array([qid] * order.size, pa.int64()),
+                "vec_id": vids[order],
+                "cosine": round_half_up(cos[order], 6),
+            }
+        )
+
+    return reduce_topk
+
+
 def knn_brute(sf_dir: str, k: int = 5, n_queries: int = 10):
     """Exact cosine top-k (excluding self) per query vector.
     Output: (qid, vec_id, cosine) — k rows per query."""
@@ -152,18 +174,7 @@ def knn_brute(sf_dir: str, k: int = 5, n_queries: int = 10):
             }
         )
 
-    def reduce_topk(group: pa.Table) -> pa.Table:
-        qid = group["qid"][0].as_py()
-        vids = group["vec_id"].to_numpy()
-        cos = group["cosine"].to_numpy()
-        order = np.lexsort((vids, -cos))[: min(k, vids.size)]
-        return pa.Table.from_pydict(
-            {
-                "qid": pa.array([qid] * order.size, pa.int64()),
-                "vec_id": vids[order],
-                "cosine": round_half_up(cos[order], 6),
-            }
-        )
+    reduce_topk = _make_reduce_topk(k)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return (
@@ -234,18 +245,7 @@ def ivf_knn(sf_dir: str, k: int = 5, n_queries: int = 10, n_lists: int = 8, npro
             }
         )
 
-    def reduce_topk(group: pa.Table) -> pa.Table:
-        qid = group["qid"][0].as_py()
-        vids = group["vec_id"].to_numpy()
-        cos = group["cosine"].to_numpy()
-        order = np.lexsort((vids, -cos))[: min(k, vids.size)]
-        return pa.Table.from_pydict(
-            {
-                "qid": pa.array([qid] * order.size, pa.int64()),
-                "vec_id": vids[order],
-                "cosine": round_half_up(cos[order], 6),
-            }
-        )
+    reduce_topk = _make_reduce_topk(k)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return (
@@ -309,14 +309,33 @@ def lsh_knn(sf_dir: str, k: int = 5, n_queries: int = 10, bands: int = 16, bits:
         # candidate iff any band bucket matches: (n, Q) via bands
         # small-dim broadcasting — one comparison per (vec, query, band)
         match = (vb[:, None, :] == qb_[None, :, :]).any(axis=2)  # (n, Q)
-        cos = qn_ @ mat.T  # (Q, n)
+        # rescore CANDIDATES ONLY: restrict the matmul to the union of
+        # bucket-matched vectors (the scale advantage — at production
+        # banding the union is a small fraction of the batch; with
+        # bits=0 the union is the whole batch and the restricted matmul
+        # runs on a contiguous copy of identical values, keeping the
+        # recall-1.0 twin bit-identical to knn_brute)
+        any_mask = match.any(axis=1)
+        empty = pa.Table.from_pydict(
+            {
+                "qid": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if not any_mask.any():
+            return empty
+        sub = mat[any_mask]
+        vids_sub = vids[any_mask]
+        match_sub = match[any_mask]
+        cos = qn_ @ sub.T  # (Q, m) — m = union candidates only
         out_q, out_v, out_c = [], [], []
         for qi in range(qids_.size):
-            probe_mask = match[:, qi] & (vids != qids_[qi])
+            probe_mask = match_sub[:, qi] & (vids_sub != qids_[qi])
             if not probe_mask.any():
                 continue
             row = cos[qi][probe_mask]
-            pv = vids[probe_mask]
+            pv = vids_sub[probe_mask]
             kk = min(k, pv.size)
             # deterministic selection — see knn_brute.partial_topk
             sel = np.lexsort((pv, -row))[:kk]
@@ -331,18 +350,7 @@ def lsh_knn(sf_dir: str, k: int = 5, n_queries: int = 10, bands: int = 16, bits:
             }
         )
 
-    def reduce_topk(group: pa.Table) -> pa.Table:
-        qid = group["qid"][0].as_py()
-        vids = group["vec_id"].to_numpy()
-        cos = group["cosine"].to_numpy()
-        order = np.lexsort((vids, -cos))[: min(k, vids.size)]
-        return pa.Table.from_pydict(
-            {
-                "qid": pa.array([qid] * order.size, pa.int64()),
-                "vec_id": vids[order],
-                "cosine": round_half_up(cos[order], 6),
-            }
-        )
+    reduce_topk = _make_reduce_topk(k)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return (

@@ -27,7 +27,6 @@ import pyarrow.compute as pc
 from ..functions.analyzer import STOPWORDS
 from ..functions.rounding import round_half_up
 
-_WS_RE = re.compile(r"\s+")
 _ALNUM_RE = re.compile(r"[A-Za-z0-9]+")
 # a BPE-ish pretokenizer: words, numbers, or single non-space symbols
 _BPEISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
@@ -50,7 +49,9 @@ def token_counts_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(
         [
             batch["doc_id"],
-            pc.cast(pc.utf8_length(t), pa.int64()),
+            # n_chars on the ORIGINAL column: null text stays null,
+            # matching the oracle's length(text)
+            pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
             *[pc.cast(c, pa.int64()) for c in counts],
         ],
         names=["doc_id", "n_chars", "n_ws_tokens", "n_alnum_tokens", "n_bpeish_tokens"],

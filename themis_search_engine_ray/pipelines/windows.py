@@ -47,7 +47,10 @@ def _scaled_int(col, decimals: int) -> np.ndarray:
     most ``decimals`` decimals; asserted within float tolerance)."""
     v = col.to_numpy() * (10.0**decimals)
     r = np.round(v)
-    if v.size and np.abs(v - r).max() > 1e-6:
+    # RELATIVE tolerance: the float64 representation error of a valid
+    # fixed-point value scales with its magnitude (an absolute 1e-6
+    # would spuriously reject 2-decimal values above ~4.5e7)
+    if v.size and (np.abs(v - r) > 1e-9 * np.maximum(1.0, np.abs(v))).any():
         raise ValueError(
             f"value column is not fixed-point with {decimals} decimals; "
             "pass decimals=None for float aggregation"
@@ -83,15 +86,16 @@ def tumbling_counts(sf_dir: str, width_s: int = 3600, decimals: "int | None" = 2
             names=["window_start", "event_type", "value"],
         )
 
+    # fixed-point path: avg is rebuilt from the exact integer sum in
+    # unscale, so don't pay for a Mean accumulator through the shuffle
+    aggs = [Count(alias_name="n_events"), Sum("value", alias_name="sum_value")]
+    if scale is None:
+        aggs.append(Mean("value", alias_name="avg_value"))
     agg = (
         _events(sf_dir, ["ts", "event_type", "value"])
         .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["window_start", "event_type"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"),
-            Mean("value", alias_name="avg_value"),
-        )
+        .aggregate(*aggs)
     )
     if scale is None:
         return agg
