@@ -79,3 +79,34 @@ def test_ingest_missing_column_raises(ray_session, tmp_path):
         f.write(json.dumps({"conv_id": "c0", "text": "no turn idx"}) + "\n")
     with pytest.raises(Exception, match="turn_idx"):
         ingest_transcripts(str(src), str(tmp_path / "bad_out")).get("rows")
+
+
+def test_ingest_gzip_jsonl(ray_session, tmp_path):
+    """Compressed JSONL sources: format inference looks through the
+    codec suffix; Ray/Arrow auto-detect gzip for both the parse and the
+    line-count metric pass."""
+    import gzip
+    import json
+
+    from themis_search_engine_ray.sources.ingest import ingest_transcripts
+
+    src = tmp_path / "part0.jsonl.gz"
+    with gzip.open(src, "wt") as f:
+        for i in range(20):
+            f.write(
+                json.dumps(
+                    {
+                        "conv_id": f"c{i}",
+                        "turn_idx": 0,
+                        "role": "user",
+                        "text": f"hello {i}",
+                        "tool": None,
+                        "ts": "2024-01-01T00:00:00",
+                    }
+                )
+                + "\n"
+            )
+    out = tmp_path / "norm"
+    stats = ingest_transcripts(str(src), str(out))
+    assert stats["rows"] == 20
+    assert stats["dropped_rows"] == 0

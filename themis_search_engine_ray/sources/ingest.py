@@ -103,9 +103,16 @@ def ingest_transcripts(
         )
 
     if fmt is None:
-        ext = os.path.splitext(
+        base = (
             src_path if not os.path.isdir(src_path) else os.listdir(src_path)[0]
-        )[1].lower()
+        ).lower()
+        # compressed text sources: Ray/Arrow auto-detect the codec from
+        # the suffix, so inference looks through it (.jsonl.gz etc.)
+        for comp in (".gz", ".zst", ".bz2"):
+            if base.endswith(comp):
+                base = base[: -len(comp)]
+                break
+        ext = os.path.splitext(base)[1]
         fmt = {".jsonl": "json", ".json": "json", ".csv": "csv", ".parquet": "parquet"}.get(
             ext
         )
