@@ -46,6 +46,12 @@ from themis_search_engine_ray.sources.transcripts import derive_sql_cte
 # rates from a token budget (mixing.waterfill_rates / mix_plan) is
 # driver-side pure math, pytest-verified; the DISTRIBUTED operator
 # (mix_sample) is what the value-exact oracle checks.
+# source-priority map for curate_priority: REVERSED source order
+# (clipped to the 4-bit priority space), so whenever duplicate texts
+# span sources the kept copy can differ from the plain min-doc_id rule
+# (exercised at sf0.1, whose fixture has cross-source duplicate texts)
+CURATE_PRIORITY = {f"src{i}": min(19 - i, 15) for i in range(20)}
+
 MIX_RATES = {
     "src0": 1.0,
     "src1": 0.8,
@@ -243,6 +249,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verified locally by tools/check_correctness.py every round
         "term_df_nostem_nostop": fulltext.term_df_nostem_nostop,
         "bm25_all_abs_nostem": fulltext.bm25_all_abs_nostem,
+        # source-priority dedup: among duplicate texts keep the argmin
+        # of (priority, doc_id) — the standard multi-source curation
+        # rule, riding the same single Min aggregate (value-exact)
+        "curate_priority": lambda sf: curate.curate_corpus(
+            sf, source_priority=CURATE_PRIORITY
+        ),
     }
 
 
@@ -872,6 +884,11 @@ def oracle_sql() -> dict[str, str]:
     out["curate_corpus"] = _curate_sql(
         out["quality_scores"], out["decontaminate"]
     )
+    out["curate_priority"] = _curate_sql(
+        out["quality_scores"],
+        out["decontaminate"],
+        source_priority=CURATE_PRIORITY,
+    )
     out["eval_metrics_nostem"] = _eval_metrics_sql(
         _topk_wrap(out["bm25_all_nostem"], 10),
         _topk_wrap(out["vsm_all_nostem"], 6),
@@ -884,10 +901,28 @@ def _curate_sql(
     decontam_sql: str,
     quality_min: float = 0.70,
     held_hex: str = "0147",
+    source_priority: "dict[str, int] | None" = None,
 ) -> str:
     """curate_corpus oracle: keep-min-per-text with the keepable flag
     encoded into the min key (doc_id*2 + (1-keepable)), exactly the
-    engine's aggregate trick, over the quality/decontamination SQL."""
+    engine's aggregate trick, over the quality/decontamination SQL.
+    With a priority map, the key gains the engine's high bits
+    ([prio:4][doc_id:58][flag:1]) so the kept copy is the argmin of
+    (priority, doc_id)."""
+    prio_shift = 1 << 59
+    if source_priority is not None:
+        default = min(max(source_priority.values()) + 1, 15)
+        whens = " ".join(
+            f"WHEN d.source = '{s}' THEN {p}"
+            for s, p in sorted(source_priority.items())
+        )
+        prio_col = f", (CASE {whens} ELSE {default} END) * {prio_shift} AS prio_base"
+        min_arg = "prio_base + doc_id * 2 + (1 - keepable)"
+        strip = f"(kk % {prio_shift})"
+    else:
+        prio_col = ""
+        min_arg = "doc_id * 2 + (1 - keepable)"
+        strip = "kk"
     return (
         f"WITH q AS (SELECT doc_id, quality_score FROM ({quality_sql})), "
         f"cont AS (SELECT doc_id FROM ({decontam_sql})), "
@@ -896,12 +931,13 @@ def _curate_sql(
         "flags AS (SELECT d.doc_id, d.text, "
         "CASE WHEN d.doc_id IN (SELECT doc_id FROM held) THEN 0 "
         "WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 0 "
-        f"WHEN q.quality_score >= {quality_min} THEN 1 ELSE 0 END AS keepable "
+        f"WHEN q.quality_score >= {quality_min} THEN 1 ELSE 0 END AS keepable"
+        f"{prio_col} "
         "FROM documents d JOIN q USING (doc_id)), "
-        "kept AS (SELECT min(doc_id * 2 + (1 - keepable)) AS kk "
+        f"kept AS (SELECT min({min_arg}) AS kk "
         "FROM flags GROUP BY text) "
-        "SELECT CAST(kk // 2 AS BIGINT) AS doc_id, "
-        "md5(CAST(kk // 2 AS VARCHAR) || ':0') AS shuffle_key "
+        f"SELECT CAST({strip} // 2 AS BIGINT) AS doc_id, "
+        f"md5(CAST({strip} // 2 AS VARCHAR) || ':0') AS shuffle_key "
         "FROM kept WHERE kk % 2 = 0"
     )
 

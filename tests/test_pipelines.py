@@ -605,3 +605,51 @@ def test_lsh_knn_recall(ray_session):
     # brute would score for those pairs
     merged = approx.merge(brute, on=["qid", "vec_id"], how="inner")
     assert (merged["cosine_x"] == merged["cosine_y"]).all()
+
+
+def test_curate_priority_prefers_source(ray_session, tmp_path):
+    """Among duplicate texts the kept copy is the argmin of
+    (source priority, doc_id); the keep decision follows THAT copy's
+    keepable flags; ties on priority fall back to min doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.curate import curate_corpus
+
+    # long distinct-ish sentences so the quality floor passes; doc 1/2
+    # share text A (crawl id 1 < wiki id 2), doc 3/4 share text B with
+    # equal priority (tie -> min id)
+    text_a = "the quick brown fox jumps over a lazy dog near the old river bank today"
+    text_b = "many hands make light work when the whole team pulls in one direction"
+    text_c = "a completely different document about distributed query engines and storage"
+    tab = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [text_a, text_a, text_b, text_b, text_c],
+            "source": ["crawl", "wiki", "forum", "forum", "crawl"],
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    prio = {"wiki": 0, "crawl": 1, "forum": 2}
+
+    plain = set(
+        curate_corpus(str(tmp_path), held_hex="0000")
+        .to_pandas()["doc_id"]
+    )
+    pref = set(
+        curate_corpus(str(tmp_path), held_hex="0000", source_priority=prio)
+        .to_pandas()["doc_id"]
+    )
+    # plain keep-min: 1 (text A), 3 (text B), 5
+    assert plain == {1, 3, 5}
+    # priority: wiki copy 2 beats crawl copy 1; forum tie -> min id 3
+    assert pref == {2, 3, 5}
+
+
+def test_curate_priority_validation(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from themis_search_engine_ray.pipelines.curate import curate_corpus
+
+    with _pytest.raises(ValueError, match="priorities must be"):
+        curate_corpus("/root/testdata/sf0.001", source_priority={"a": 16})

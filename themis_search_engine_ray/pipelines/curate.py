@@ -37,22 +37,51 @@ from .decontaminate import benchmark_shingles, shared_shingle_counts
 from .text_analysis import quality_batch
 
 
+# priority-aware keyed-Min layout: [prio: 4 bits][doc_id: 58][flag: 1]
+_PRIO_SHIFT = 1 << 59
+_PRIO_MAX = 15
+
+
 def curate_corpus(
     sf_dir: str,
     quality_min: float = 0.70,
     held_hex: str = "0147",
     k: int = 3,
     seed: int = 0,
+    source_priority: "dict[str, int] | None" = None,
 ):
     """(doc_id, shuffle_key) of the curated corpus: exact-deduped,
     held-out split removed, decontaminated, quality-floored, in
-    deterministic shuffle order by key."""
+    deterministic shuffle order by key.
+
+    ``source_priority`` (optional): rank per source, 0 = most
+    preferred. Among duplicate texts the kept copy is the argmin of
+    (priority, doc_id) — the standard multi-source curation rule
+    (prefer the cleaner source when a crawl duplicates it). Rides the
+    SAME single ``aggregate(Min)``: the priority packs into the high
+    bits of the encoded key ([prio:4][doc_id:58][flag:1]), so there is
+    still no per-group Python. Unlisted sources rank one below the
+    worst listed; priorities must be in [0, 15] and doc_ids < 2^58
+    when a priority map is given (< 2^62 otherwise)."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Min
 
+    prio_map = None
+    default_prio = 0
+    if source_priority is not None:
+        if any(not 0 <= p <= _PRIO_MAX for p in source_priority.values()):
+            raise ValueError(
+                f"source priorities must be in [0, {_PRIO_MAX}]: {source_priority}"
+            )
+        prio_map = dict(source_priority)
+        default_prio = min(max(source_priority.values()) + 1, _PRIO_MAX)
+
     bset, bhash = benchmark_shingles(sf_dir, held_hex, k)
     ref = ray.put((bset, bhash))
+    id_bound = 1 << 58 if prio_map is not None else 1 << 62
+
+    cols = ["doc_id", "text"] + (["source"] if prio_map is not None else [])
 
     def tag(batch: pa.Table) -> pa.Table:
         from .dedup import md5_hex_array
@@ -66,21 +95,29 @@ def curate_corpus(
         quality = quality_batch(batch)["quality_score"].to_numpy()
         keepable = (~held) & (shared == 0) & (quality >= quality_min)
         ids = ids.astype(np.int64)
-        # the encoded min-key doubles the id: enforce the 62-bit bound
-        # the docstring states instead of silently wrapping int64 (the
-        # index build's own doc_key() ids are 63-bit and MUST NOT feed
-        # this path — use a map_groups keep-min instead)
-        if ids.size and (ids.max() >= (1 << 62) or ids.min() < 0):
+        # the encoded min-key doubles the id: enforce the documented
+        # bound instead of silently wrapping int64 (the index build's
+        # own doc_key() ids are 63-bit and MUST NOT feed this path —
+        # use a map_groups keep-min instead)
+        if ids.size and (ids.max() >= id_bound or ids.min() < 0):
             raise ValueError(
-                "curate_corpus requires non-negative doc_ids < 2^62 "
-                "(the keepable flag is encoded into doc_id*2 + flag); "
+                f"curate_corpus requires non-negative doc_ids < {id_bound} "
+                "(the keep decision is encoded into the Min key); "
                 f"got range [{ids.min()}, {ids.max()}]"
             )
         keyed = ids * 2 + (1 - keepable.astype(np.int64))
+        if prio_map is not None:
+            src = batch["source"].to_pylist()
+            prio = np.fromiter(
+                (prio_map.get(s or "", default_prio) for s in src),
+                np.int64,
+                len(src),
+            )
+            keyed = prio * _PRIO_SHIFT + keyed
         return pa.Table.from_pydict({"text_hash": th, "keyed": keyed})
 
     kept = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
         .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("text_hash")
         .aggregate(Min("keyed", alias_name="kk"))
@@ -90,6 +127,8 @@ def curate_corpus(
         from .shuffle import _assign_keys
 
         kk = batch["kk"].to_numpy()
+        if prio_map is not None:
+            kk = kk % _PRIO_SHIFT  # strip the priority bits
         keep = kk % 2 == 0
         ids = (kk[keep] // 2).astype(np.int64)
         # num_shards=1: only the key column is wanted; _assign_keys is

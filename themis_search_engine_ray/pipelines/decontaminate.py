@@ -58,12 +58,14 @@ def benchmark_shingles(
         )
         return pa.Table.from_pydict({"sh": pa.array(shingles, pa.string())})
 
-    shs = (
+    df = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(bench_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()["sh"]
+        .to_pandas()
     )
-    sh_set = set(shs)
+    # an all-empty Dataset can surface as a column-less DataFrame (Ray
+    # drops the schema) — an empty held-out split is a valid input
+    sh_set = set(df["sh"]) if "sh" in df.columns else set()
     hashes = np.sort(
         np.fromiter((shingle_hash_str(s) for s in sh_set), np.uint64, len(sh_set))
     )
