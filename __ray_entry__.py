@@ -1147,10 +1147,14 @@ def _mix_sample_sql(rates: dict[str, float]) -> str:
         "x -> x != '')) AS BIGINT) AS n_tokens FROM documents"
     )
     q = _splitmix_chain_sql(base)
+    # coalesce(source, '') matches the engine's fill_null key rule:
+    # NULL-source docs sample under the '' rate (the same key
+    # source_token_counts plans under)
     return (
-        f"WITH rates(source, thresh) AS (VALUES {vals}) "
-        f"SELECT doc_id, source, n_tokens FROM ({q}) "
-        "JOIN rates USING (source) WHERE h <= thresh"
+        f"WITH rates(rsource, thresh) AS (VALUES {vals}) "
+        f"SELECT t.doc_id, t.source, t.n_tokens FROM ({q}) t "
+        "JOIN rates ON coalesce(t.source, '') = rsource "
+        "WHERE t.h <= thresh"
     )
 
 

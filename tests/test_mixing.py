@@ -2,6 +2,7 @@
 deterministic splitmix64 sampler vs an exact numpy recompute."""
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -47,6 +48,34 @@ def test_sample_threshold_edges():
     assert sample_threshold(2.0) == (1 << 64) - 1
     half = sample_threshold(0.5)
     assert 0 < half < (1 << 64) - 1
+    # a tiny POSITIVE rate clamps to 0 (keep h==0 only) — never the -1
+    # keep-nothing sentinel, which a uint64 cast would wrap into
+    # keep-EVERYTHING
+    assert sample_threshold(1e-30) == 0
+    assert sample_threshold(2.0**-64) == 0
+
+
+def test_mix_sample_tiny_rate_and_null_source(ray_session, tmp_path):
+    # tiny positive rate keeps (almost) nothing instead of wrapping to
+    # keep-all; NULL sources sample under the "" key (the same
+    # normalization source_token_counts plans under)
+    tab = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(list(range(64)), pa.int64()),
+            "source": pa.array(
+                [None if i % 2 else "srcA" for i in range(64)], pa.string()
+            ),
+            "text": pa.array(["alpha beta"] * 64),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = mix_sample(str(tmp_path), {"srcA": 1e-30, "": 1.0}).to_pandas()
+    # every NULL-source doc kept under the "" rate-1 budget
+    assert got["source"].isna().sum() == 32
+    # the tiny-rate source keeps only docs whose splitmix64 hash is 0
+    kept_a = got[got["source"] == "srcA"]["doc_id"].to_numpy()
+    h = _splitmix64(np.arange(64, dtype=np.uint64))
+    assert set(kept_a) == set(np.flatnonzero(h[::2] == 0) * 2)
 
 
 def test_mix_sample_matches_numpy_exactly(ray_session):

@@ -71,3 +71,32 @@ def test_sessionize_gap_semantics(events_dir):
     u2 = out[out["user_id"] == 2]
     assert len(u2) == 1 and int(u2.iloc[0]["n_events"]) == 2
     np.testing.assert_allclose(u2.iloc[0]["sum_value"], 24.0)
+
+
+def test_fixed_point_rejects_nulls_and_non_fixed(ray_session, tmp_path):
+    # the fixed-point contract fails LOUDLY (no silent float fallback)
+    tab = pa.Table.from_pydict(
+        {
+            "event_id": pa.array([0, 1], pa.int64()),
+            "ts": pa.array([0, US], pa.timestamp("us")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["view", "view"]),
+            "value": pa.array([1.0, None], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match="NULL"):
+        tumbling_counts(str(tmp_path), width_s=3600).to_pandas()
+    # decimals=None: null-skipping float semantics work
+    out = tumbling_counts(str(tmp_path), width_s=3600, decimals=None).to_pandas()
+    assert out["n_events"].sum() == 2
+
+    tab = tab.set_column(
+        tab.schema.get_field_index("value"),
+        "value",
+        pa.array([1.0, 0.123], pa.float64()),  # 3 decimals > the default 2
+    )
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match="fixed-point"):
+        tumbling_counts(str(tmp_path), width_s=3600).to_pandas()

@@ -61,8 +61,11 @@ def curate_corpus(
     SAME single ``aggregate(Min)``: the priority packs into the high
     bits of the encoded key ([prio:4][doc_id:58][flag:1]), so there is
     still no per-group Python. Unlisted sources rank one below the
-    worst listed; priorities must be in [0, 15] and doc_ids < 2^58
-    when a priority map is given (< 2^62 otherwise)."""
+    worst listed, CLAMPED to the 4-bit priority space: if any listed
+    source already has priority 15, unlisted sources TIE with it (the
+    doc_id then breaks the tie, as always). Priorities must be in
+    [0, 15] and doc_ids < 2^58 when a priority map is given (< 2^62
+    otherwise)."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Min

@@ -503,9 +503,18 @@ def _broadcast_verify_jaccard(ds, candidates, threshold: float, k: int):
 
 
 # Reduce buckets for the distributed verify's tag-union joins. Each
-# groupby group holds ~corpus/NB shingle-set rows plus the candidate
-# rows hashing there — sized so a group fits one reducer's heap.
-_JOIN_BUCKETS = 64
+# groupby group holds ~payload_rows/NB payload rows plus the candidate
+# rows hashing there; the bucket count SCALES with the payload so a
+# group stays ~_JOIN_BUCKET_ROWS rows no matter the corpus (a constant
+# count would concentrate corpus/NB rows per reducer — unbounded at
+# 100 TB), with a floor that keeps small runs from degenerating into
+# one giant group per few rows.
+_JOIN_BUCKET_ROWS = 1_000_000  # target payload rows per reduce bucket
+_JOIN_BUCKETS_MIN = 64
+
+
+def _join_bucket_count(payload_rows: int) -> int:
+    return max(_JOIN_BUCKETS_MIN, -(-payload_rows // _JOIN_BUCKET_ROWS))
 
 
 def _attach_pair_payloads(payload_ds, candidates, ptype=None):
@@ -520,13 +529,15 @@ def _attach_pair_payloads(payload_ds, candidates, ptype=None):
     for ``a`` then ``b`` (the same pattern graph.py uses: Ray 2.49's
     ``Dataset.join`` deadlocks/mis-resolves when executed repeatedly in
     a session, see NOTES.md). Rows are bucketed on
-    ``key % _JOIN_BUCKETS``; each group does one vectorized dict
+    ``key % n_buckets`` (bucket count scaled to the payload size, see
+    :func:`_join_bucket_count`); each group does one vectorized dict
     lookup, so per-group Python cost is O(group), not O(1)-per-doc."""
     if ptype is None:
         ptype = pa.string()
     empty_pay = b"" if ptype == pa.binary() else ""
 
     payload_ds = payload_ds.materialize()  # reused by both attach rounds
+    n_buckets = _join_bucket_count(payload_ds.count())  # count() is free here
 
     _SCHEMA = pa.schema(
         [
@@ -545,7 +556,7 @@ def _attach_pair_payloads(payload_ds, candidates, ptype=None):
         n = len(ids)
         return pa.Table.from_pydict(
             {
-                "bucket": ids % _JOIN_BUCKETS,
+                "bucket": ids % n_buckets,
                 "key": ids,
                 "a": np.zeros(n, np.int64),
                 "b": np.zeros(n, np.int64),
@@ -561,7 +572,7 @@ def _attach_pair_payloads(payload_ds, candidates, ptype=None):
             n = len(keys)
             return pa.Table.from_pydict(
                 {
-                    "bucket": keys % _JOIN_BUCKETS,
+                    "bucket": keys % n_buckets,
                     "key": keys,
                     "a": batch["a"],
                     "b": batch["b"],
@@ -1437,7 +1448,12 @@ def _join_verify_cosine(ds, candidates, threshold: float):
     """Fully distributed verify: vectors packed as raw float64 bytes
     (flat binary through the exchange), attached to both pair sides via
     :func:`_attach_pair_payloads`, cosine computed per batch. Nothing
-    candidate- or corpus-sized ever reaches the driver."""
+    candidate- or corpus-sized ever reaches the driver.
+
+    A candidate doc_id with no embedding row gets an EMPTY payload from
+    the join; such pairs are dropped (can't be verified similar — the
+    same effective outcome as the jaccard twin's empty shingle set)
+    instead of crashing ``np.stack`` on ragged rows."""
 
     def vec_rows(batch: pa.Table) -> pa.Table:
         ids, mat = _embedding_matrix(batch)
@@ -1454,6 +1470,15 @@ def _join_verify_cosine(ds, candidates, threshold: float):
     joined = _attach_pair_payloads(vecs_ds, candidates, pa.binary())
 
     def verify_joined(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # drop pairs with a missing embedding row (empty payload) —
+        # np.stack would crash on the ragged zero-length vector
+        ok = pc.and_(
+            pc.greater(pc.binary_length(batch["pay_a"]), 0),
+            pc.greater(pc.binary_length(batch["pay_b"]), 0),
+        )
+        batch = batch.filter(ok)
         a = batch["a"].to_pylist()
         if not a:
             return _cosine_rows([], [], None, None, threshold)

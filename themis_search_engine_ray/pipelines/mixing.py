@@ -40,11 +40,15 @@ _U64_MAX = (1 << 64) - 1
 def sample_threshold(rate: float) -> int:
     """Integer keep-threshold for a sampling rate: keep iff
     ``splitmix64(doc_id) <= threshold``. rate ≤ 0 → -1 (keeps nothing);
-    rate ≥ 1 → 2^64-1 (keeps everything). Computed ONCE at plan time and
-    shared verbatim by the engine and the SQL oracle."""
+    rate ≥ 1 → 2^64-1 (keeps everything). Tiny positive rates (below
+    ~5.4e-20, where ``int(rate·2^64) - 1`` would underflow to -1) clamp
+    to 0 — keep only ``h == 0`` — so a POSITIVE rate can never return
+    the keep-NOTHING sentinel (which a uint64 cast would wrap to
+    keep-EVERYTHING). Computed ONCE at plan time and shared verbatim by
+    the engine and the SQL oracle."""
     if rate <= 0.0:
         return -1
-    return min(int(rate * 2.0**64) - 1, _U64_MAX)
+    return min(max(int(rate * 2.0**64) - 1, 0), _U64_MAX)
 
 
 def doc_token_counts(batch: pa.Table) -> np.ndarray:
@@ -160,9 +164,11 @@ def mix_plan(
 def mix_sample(sf_dir: str, rates: dict[str, float]):
     """Deterministic mixture sample: keep a document iff
     ``splitmix64(doc_id) <= sample_threshold(rates[source])``. Unknown
-    or rate-0 sources keep nothing. Output (doc_id, source, n_tokens) —
-    one streaming pass, rates broadcast in the task closure (a
-    #sources-sized dict)."""
+    or rate-0 sources keep nothing. NULL sources are keyed as ``""`` —
+    the SAME normalization :func:`source_token_counts` uses, so a plan
+    that budgeted tokens under ``""`` actually samples those docs.
+    Output (doc_id, source, n_tokens) — one streaming pass, rates
+    broadcast in the task closure (a #sources-sized dict)."""
     import ray.data as rd
 
     sources = sorted(s for s in rates if rates[s] > 0.0)
@@ -176,7 +182,9 @@ def mix_sample(sf_dir: str, rates: dict[str, float]):
 
         ids = batch["doc_id"].to_numpy().astype(np.uint64)
         h = _splitmix64(ids)
-        idx = pc.index_in(batch["source"], value_set=src_arr)
+        idx = pc.index_in(
+            pc.fill_null(batch["source"], ""), value_set=src_arr
+        )
         idx_np = idx.to_numpy(zero_copy_only=False)
         known = ~np.isnan(idx_np.astype(np.float64))
         thr = np.zeros(len(ids), np.uint64)

@@ -122,7 +122,15 @@ def revenue_by_nation(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
-    joined = li.join(orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
+    # partition the big-big join by input size (~2M lineitem rows per
+    # partition, floor 2), not a constant — a fixed count would make
+    # each join partition corpus/k rows and overflow a worker at scale.
+    # Parquet metadata gives the row count without reading data.
+    li_rows = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    num_parts = max(2, -(-li_rows // 2_000_000))
+    joined = li.join(
+        orders, "inner", num_parts, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
 
     def per_nation(batch: pa.Table) -> pa.Table:
         nk_, names_ = ray.get(dims_ref)

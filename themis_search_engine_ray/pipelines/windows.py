@@ -31,7 +31,10 @@ flip between Ray's block-order partial sums and DuckDB's scan-order
 sum — the classic float-reduction reproducibility trap; integer cents
 make the result identical on any engine, any partitioning, any
 re-run). Pass ``decimals=None`` for raw float semantics on
-arbitrary-precision values.
+arbitrary-precision or NULL-bearing values — the fixed-point path
+REJECTS (clear ValueError, no silent fallback) values that are not
+fixed-point at the given scale or are NULL, because a per-batch float
+fallback would silently forfeit the exactness contract.
 """
 
 from __future__ import annotations
@@ -44,7 +47,18 @@ EPOCH_US = 1_000_000
 
 def _scaled_int(col, decimals: int) -> np.ndarray:
     """value → exact scaled int64 (values must be fixed-point with at
-    most ``decimals`` decimals; asserted within float tolerance)."""
+    most ``decimals`` decimals and non-NULL; asserted within float
+    tolerance). Violations raise a ValueError naming the remedy
+    (``decimals=None``) rather than silently degrading — the
+    fixed-point contract is what makes the aggregates
+    accumulation-order-exact, so a quiet float fallback in SOME batches
+    would be worse than an error."""
+    if col.null_count:
+        raise ValueError(
+            f"value column has {col.null_count} NULLs; fixed-point "
+            "aggregation (decimals=N) requires non-NULL values — pass "
+            "decimals=None for null-skipping float aggregation"
+        )
     v = col.to_numpy() * (10.0**decimals)
     r = np.round(v)
     # RELATIVE tolerance: the float64 representation error of a valid
