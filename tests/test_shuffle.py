@@ -209,3 +209,54 @@ def test_split_export_resume_refuses_other_split(ray_session, tmp_path):
     shuffle_export(sf, str(out), seed=1, num_shards=2, split=("train", fr, 0))
     with pytest.raises(ValueError, match="refusing to resume"):
         shuffle_export(sf, str(out), seed=1, num_shards=2, split=("val", fr, 0))
+
+
+def test_shuffle_export_wide_shard_space(tmp_path):
+    """num_shards > 256 (two-byte key prefixes): global order still
+    holds, resume still skips, and the one-byte rule for small N is
+    unchanged (what the SQL oracles encode)."""
+    import numpy as np
+
+    from themis_search_engine_ray.pipelines.shuffle import (
+        _assign_keys,
+        shuffle_export,
+    )
+
+    out = str(tmp_path / "wide")
+    r1 = shuffle_export(SF, out, seed=0, num_shards=1024)
+    assert r1["rows"] == 500
+    assert r1["shards_written"] + r1["shards_skipped"] == 1024
+    # reading shards 0..N-1 in order IS the md5-sorted global shuffle
+    assert _read_global_order(out) == _want_order()
+
+    # shard index must be monotone in shuffle_key (contiguous ranges)
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    keys, shards = _assign_keys(ids, 0, 1024)
+    keys = keys.to_pylist() if hasattr(keys, "to_pylist") else list(keys)
+    order = np.argsort(np.asarray(keys))
+    assert (np.diff(shards[order]) >= 0).all()
+    # two-byte rule: shard == int(key[:4], 16) * N // 65536
+    assert all(
+        s == int(k[:4], 16) * 1024 // 65536 for k, s in zip(keys, shards)
+    )
+    # one-byte rule for N <= 256 is UNCHANGED by the widening
+    _, shards16 = _assign_keys(ids, 0, 16)
+    assert all(
+        s == int(k[:2], 16) * 16 // 256 for k, s in zip(keys, shards16)
+    )
+
+    # resume at the wide shard count: drop two shards, only they rewrite
+    victims = sorted(
+        f for f in os.listdir(out)
+        if f.endswith(".parquet") and os.path.getsize(os.path.join(out, f))
+    )[:2]
+    for v in victims:
+        os.unlink(os.path.join(out, v))
+    r2 = shuffle_export(SF, out, seed=0, num_shards=1024)
+    assert r2["shards_skipped"] == 1022
+    assert _read_global_order(out) == _want_order()
+
+    with pytest.raises(ValueError, match="num_shards"):
+        shuffle_export(SF, str(tmp_path / "x"), seed=0, num_shards=65537)

@@ -8,11 +8,16 @@ The scale shape used here:
   the row (the same rule :func:`..pipelines.sampling.stratified_sample`
   uses), so the order needs NO RNG state, no coordination, and a DuckDB
   oracle can re-derive it;
-* **prefix-range sharding**: the key's first two hex chars pick one of
+* **prefix-range sharding**: the key's leading hex chars pick one of
   ``num_shards`` contiguous key ranges, so the GLOBAL shuffled order is
   just shard 0..N-1 concatenated, each shard sorted by key — no global
   sort barrier, no sample-based range partitioning; every shard is one
-  independent bounded task;
+  independent bounded task. The prefix WIDTH scales with the shard
+  count: ≤256 shards use the first key byte (``shard = byte0·N/256``),
+  larger counts the first two (``shard = (byte0·256+byte1)·N/65536``,
+  up to 65536 shards) — so "size num_shards to the target file size"
+  holds at 100 TB (65536 shards ≈ 1.5 GB each), and each shard still
+  fits the one-reducer sort-and-write task that makes resume atomic;
 * **resume**: one Parquet file per shard, written atomically
   (``.tmp`` + rename); a re-run skips shards whose file already exists
   — the killed-run-resumes-identically contract the index build has.
@@ -30,19 +35,32 @@ import os
 import numpy as np
 import pyarrow as pa
 
-_PREFIX_SPACE = 256  # two hex chars
+_PREFIX_SPACE_1 = 256  # one key byte (two hex chars)
+_PREFIX_SPACE_2 = 65536  # two key bytes (four hex chars)
+_MAX_SHARDS = _PREFIX_SPACE_2
+
+
+def _prefix_space(num_shards: int) -> int:
+    """Smallest supported prefix space that can address every shard.
+    ≤256 shards keep the historical one-byte rule (``byte0·N/256`` —
+    what the SQL oracles and all existing manifests encode); beyond
+    that the space widens to two bytes. For N ≤ 256 the two rules
+    agree anyway whenever 256 % N == 0, but pinning the one-byte rule
+    keeps EVERY small-N assignment stable across this change."""
+    return _PREFIX_SPACE_1 if num_shards <= _PREFIX_SPACE_1 else _PREFIX_SPACE_2
 
 
 def _validate_num_shards(num_shards: int) -> None:
-    """num_shards is capped by the 2-hex prefix space: beyond 256 the
-    extra shards would be PERMANENTLY empty, silently breaking the
-    'size num_shards to the target file size' contract — rejected
-    instead. Public entry points validate up front so a bad export
-    fails before any manifest or shard is written, not mid-shuffle."""
-    if not 1 <= num_shards <= _PREFIX_SPACE:
+    """num_shards is capped by the widest prefix space (4 hex chars):
+    beyond 65536 the extra shards would be PERMANENTLY empty, silently
+    breaking the 'size num_shards to the target file size' contract —
+    rejected instead. Public entry points validate up front so a bad
+    export fails before any manifest or shard is written, not
+    mid-shuffle."""
+    if not 1 <= num_shards <= _MAX_SHARDS:
         raise ValueError(
-            f"num_shards must be in [1, {_PREFIX_SPACE}] (shards are "
-            f"2-hex-char key-prefix ranges); got {num_shards}"
+            f"num_shards must be in [1, {_MAX_SHARDS}] (shards are "
+            f"key-prefix ranges, ≤4 hex chars); got {num_shards}"
         )
 
 
@@ -78,15 +96,17 @@ def _assign_keys(ids, seed: int, num_shards: int):
     vectorized: digests are joined into one buffer, ``binascii.hexlify``
     produces all hex keys in one C pass, the Arrow string column is
     built zero-copy via ``StringArray.from_buffers``, and the shard is
-    the first digest byte sliced straight out of the joined buffer
-    (byte0 IS ``int(key[:2], 16)`` — no second parse loop)."""
+    the leading digest byte(s) sliced straight out of the joined buffer
+    (byte0 IS ``int(key[:2], 16)`` — no second parse loop; >256 shards
+    also slice byte1, see :func:`_prefix_space`)."""
     import binascii
 
     _validate_num_shards(num_shards)
+    space = _prefix_space(num_shards)
     md5 = hashlib.md5
     sfx = f":{seed}".encode()
     key_chunks = []
-    byte0_chunks = []
+    prefix_chunks = []
     ids = list(ids)
     for lo in range(0, len(ids), _KEY_CHUNK):
         chunk = ids[lo : lo + _KEY_CHUNK]
@@ -94,7 +114,11 @@ def _assign_keys(ids, seed: int, num_shards: int):
         # the inlined expression above must stay byte-identical to the
         # scalar key rule (curate + SQL oracles go through _key_digest)
         assert buf[:16] == _key_digest(chunk[0], sfx)
-        byte0_chunks.append(np.frombuffer(buf, dtype=np.uint8)[::16])
+        raw = np.frombuffer(buf, dtype=np.uint8)
+        prefix = raw[::16].astype(np.int64)
+        if space == _PREFIX_SPACE_2:
+            prefix = prefix * 256 + raw[1::16]
+        prefix_chunks.append(prefix)
         offs = np.arange(0, 32 * (len(chunk) + 1), 32, dtype=np.int32)
         key_chunks.append(
             pa.StringArray.from_buffers(
@@ -114,9 +138,7 @@ def _assign_keys(ids, seed: int, num_shards: int):
         if len(key_chunks) == 1
         else pa.chunked_array(key_chunks)
     )
-    shards = (
-        np.concatenate(byte0_chunks).astype(np.int64) * num_shards // _PREFIX_SPACE
-    )
+    shards = np.concatenate(prefix_chunks) * num_shards // space
     return keys, shards
 
 
@@ -247,9 +269,14 @@ def shuffle_export(
 
         keep_ref = ray.put(keep_sorted)  # broadcast once, not per task
 
+    # vectorized resume filter: a bool LUT indexed by shard beats a
+    # per-row set probe (num_shards entries, broadcast in the closure)
+    pending_mask = np.ones(num_shards, bool)
+    pending_mask[list(done)] = False
+
     def assign_full(batch: pa.Table) -> pa.Table:
         keys, shards = _assign_keys(batch["doc_id"].to_pylist(), seed, num_shards)
-        keep = np.asarray([s not in done for s in shards], bool)
+        keep = pending_mask[shards]
         if split_range is not None:
             from .similarity import _splitmix64
 
