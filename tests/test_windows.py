@@ -100,3 +100,74 @@ def test_fixed_point_rejects_nulls_and_non_fixed(ray_session, tmp_path):
     pq.write_table(tab, str(tmp_path / "events.parquet"))
     with pytest.raises(Exception, match="fixed-point"):
         tumbling_counts(str(tmp_path), width_s=3600).to_pandas()
+
+
+def test_sessionize_salted_hot_user_crossing_days(ray_session, tmp_path):
+    """A hot user whose continuous activity spans many day buckets must
+    come out of the SALTED sessionizer identical to the single-bucket
+    computation and a brute-force reference — sessions that cross salt
+    boundaries merge back exactly (count, endpoints, exact cent sums)."""
+    from themis_search_engine_ray.pipelines.windows import sessionize as sz
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # hot user 1: one event every 600s for 12 days -> ONE session
+    # crossing 11 midnight boundaries
+    t = 500 * US
+    for i in range(12 * 144):
+        rows.append((1, t, round(float(rng.randint(0, 10_000)) / 100, 2)))
+        t += 600 * US
+    # user 2: four sessions, one straddling a midnight boundary
+    # (23:59:40 -> 00:00:30 next day, gap 50s); the 1900s gap on day 3
+    # splits
+    day = 86_400 * US
+    for ts in (day - 20 * US, day + 30 * US, 3 * day + 100 * US,
+               3 * day + 2000 * US, 5 * day):
+        rows.append((2, ts, 1.25))
+    tab = pa.Table.from_pydict(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    def canon(df):
+        return (
+            df.sort_values(["user_id", "session_idx"])
+            .reset_index(drop=True)[
+                ["user_id", "session_idx", "session_start",
+                 "session_end", "n_events", "sum_value"]
+            ]
+        )
+
+    salted = canon(sz(sf, gap_s=1800, salt_s=86400).to_pandas())
+    single = canon(sz(sf, gap_s=1800, salt_s=10**9).to_pandas())
+    assert salted.equals(single)  # bit-identical incl. float sums
+
+    # brute-force reference
+    want = []
+    for uid in (1, 2):
+        ev = sorted((r[1], r[2]) for r in rows if r[0] == uid)
+        cur = [ev[0]]
+        sessions = []
+        for e in ev[1:]:
+            if e[0] - cur[-1][0] > 1800 * US:
+                sessions.append(cur)
+                cur = [e]
+            else:
+                cur.append(e)
+        sessions.append(cur)
+        for si, s in enumerate(sessions):
+            cents = sum(int(round(v * 100)) for _, v in s)
+            want.append((uid, si, s[0][0] // US, s[-1][0] // US,
+                         len(s), cents / 100.0))
+    assert list(map(tuple, salted.itertuples(index=False))) == want
+    # the hot user really is ONE session spanning 12 day-buckets
+    assert (salted["user_id"] == 1).sum() == 1
+    assert (salted["user_id"] == 2).sum() == 4

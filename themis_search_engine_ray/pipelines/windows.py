@@ -13,12 +13,11 @@ built shuffle-consciously:
   windows that cover it (flat expansion inside the same batch UDF),
   then the identical groupby; replication factor is explicit and
   bounded.
-* sessionization   — ``groupby(user_id).map_groups``: sort the user's
-  events by ts, split where the gap exceeds the timeout, emit one row
-  per session (classic transcript sessionization). Partitioning
-  assumption: one user's events fit in one group — true by construction
-  for bounded per-user activity; salt by day first if a user can exceed
-  worker memory.
+* sessionization   — SALTED two-level ``groupby``: local sessions per
+  ``(user_id, time-bucket)``, then a per-user merge of the session
+  SUMMARIES across bucket boundaries (see :func:`sessionize`). A hot
+  user's events spread over one group per bucket; only their compact
+  session summaries meet in one place.
 
 All flavors are DuckDB-SQL-expressible (epoch arithmetic / lag+cumsum
 window functions), so the driver checks them value-exactly.
@@ -183,41 +182,112 @@ def sliding_counts(
     return agg.map_batches(unscale, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def sessionize(sf_dir: str, gap_s: int = 1800, decimals: "int | None" = 2):
+def sessionize(
+    sf_dir: str,
+    gap_s: int = 1800,
+    decimals: "int | None" = 2,
+    salt_s: int = 86400,
+):
     """Per-user sessions split at inactivity gaps > ``gap_s``: one row
-    per session with start/end epoch-seconds, event count, value sum."""
+    per session with start/end epoch-seconds, event count, value sum.
+
+    SALTED two-level shape (the hot-user fix): level 1 groups by
+    ``(user_id, ts // salt_s)`` — a bot with months of events spreads
+    over one group per ``salt_s`` bucket instead of landing whole in a
+    single ``map_groups`` call — and computes LOCAL sessions per
+    bucket; level 2 groups the per-session SUMMARIES (5 fixed-width
+    columns, not events) by user and merges sessions that span bucket
+    boundaries (two summaries merge iff ``next.start - prev.end <=
+    gap_s`` — exactly the event-gap rule, because the boundary summary
+    endpoints ARE the adjacent event timestamps). The result is
+    identical to the unsalted computation for ANY salt: pytest asserts
+    salted == single-bucket == a brute-force reference on a hot user
+    whose sessions cross day boundaries.
+
+    Remaining partition assumption (far weaker than one-user-one-
+    group): one user's session SUMMARIES fit one level-2 group. A user
+    with continuous activity collapses to ≤ span/salt_s + 1 summaries;
+    only a user with ~#events distinct sessions keeps level 2 O(events)
+    — at 40 B/summary vs full event rows, orders of magnitude smaller.
+
+    Fixed-point mode carries scaled int64 sums through BOTH levels and
+    divides once per merged session, so the output is bit-identical to
+    the unsalted/oracle computation regardless of how sessions were
+    split across buckets. Float mode (``decimals=None``) merges float
+    partial sums — same within-ulp caveat as any float reduction."""
     gap_us = gap_s * EPOCH_US
+    salt_us = salt_s * EPOCH_US
     scale = None if decimals is None else 10.0**decimals
 
-    def sessions(group: pa.Table) -> pa.Table:
-        uid = int(group["user_id"][0].as_py())
-        ts = group["ts"].cast(pa.int64()).to_numpy()
+    def tag(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        if scale is None:
+            val = batch["value"].to_numpy().astype(np.float64)
+        else:
+            val = _scaled_int(batch["value"], decimals).astype(np.float64)
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"],
+                "salt": ts // salt_us,
+                "ts": ts,
+                # float64 carrier for both modes: scaled ints are exact
+                # in float64 well under 2^53 (asserted in local_sessions)
+                "value": val,
+            }
+        )
+
+    def local_sessions(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy()
         order = np.argsort(ts, kind="stable")
         ts = ts[order]
-        if scale is None:
-            val = group["value"].to_numpy()[order]
-        else:
-            val = _scaled_int(group["value"], decimals)[order]
+        val = group["value"].to_numpy()[order]
         new = np.empty(ts.size, bool)
         new[0] = True
         new[1:] = (ts[1:] - ts[:-1]) > gap_us
         sid = np.cumsum(new) - 1
         n_sessions = int(sid[-1]) + 1
-        starts = ts[new]
-        ends = np.maximum.reduceat(ts, np.flatnonzero(new))
-        counts = np.bincount(sid, minlength=n_sessions)
-        sums = np.bincount(sid, weights=val.astype(np.float64), minlength=n_sessions)
+        idx = np.flatnonzero(new)
+        sums = np.bincount(sid, weights=val, minlength=n_sessions)
         if scale is not None:
-            # per-session event counts are small: the float-weighted
-            # bincount of exact integers stays exact well under 2^53
-            sums = sums / scale
+            # exactness guard for the float64 carrier of scaled cents
+            assert np.abs(sums).max(initial=0.0) < 2.0**53
+        return pa.Table.from_pydict(
+            {
+                "user_id": group["user_id"].take(pa.array(idx)),
+                "start_us": ts[idx],
+                "end_us": np.maximum.reduceat(ts, idx),
+                "n_events": np.bincount(sid, minlength=n_sessions).astype(
+                    np.int64
+                ),
+                "sum_val": sums,
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        uid = int(group["user_id"][0].as_py())
+        starts = group["start_us"].to_numpy()
+        order = np.argsort(starts, kind="stable")
+        starts = starts[order]
+        ends = group["end_us"].to_numpy()[order]
+        n = group["n_events"].to_numpy()[order]
+        sv = group["sum_val"].to_numpy()[order]
+        new = np.empty(starts.size, bool)
+        new[0] = True
+        new[1:] = (starts[1:] - ends[:-1]) > gap_us
+        idx = np.flatnonzero(new)
+        n_sessions = idx.size
+        sums = np.add.reduceat(sv, idx)
+        if scale is not None:
+            # merged cents stay exact integers in float64
+            assert np.abs(sums).max(initial=0.0) < 2.0**53
+            sums = sums / scale  # ONE division: same IEEE op as the oracle
         return pa.Table.from_arrays(
             [
                 pa.array(np.full(n_sessions, uid, np.int64)),
                 pa.array(np.arange(n_sessions, dtype=np.int64)),
-                pa.array(starts // EPOCH_US),
-                pa.array(ends // EPOCH_US),
-                pa.array(counts.astype(np.int64)),
+                pa.array(starts[idx] // EPOCH_US),
+                pa.array(np.maximum.reduceat(ends, idx) // EPOCH_US),
+                pa.array(np.add.reduceat(n, idx)),
                 pa.array(sums),
             ],
             names=[
@@ -232,6 +302,9 @@ def sessionize(sf_dir: str, gap_s: int = 1800, decimals: "int | None" = 2):
 
     return (
         _events(sf_dir, ["user_id", "ts", "value"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "salt"])
+        .map_groups(local_sessions, batch_format="pyarrow")
         .groupby("user_id")
-        .map_groups(sessions, batch_format="pyarrow")
+        .map_groups(merge, batch_format="pyarrow")
     )
