@@ -114,9 +114,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value-exact against the all-pairs oracle (minhash trick)
         "embedding_lsh_exact": dedup.embedding_lsh_exact,
         "dedup_clusters": dedup.dedup_clusters,
-        # train/test decontamination: broadcast benchmark shingles,
-        # one streaming pass, hash-probe + exact verify
-        "decontaminate": decontaminate.decontaminate,
+        # train/test decontamination, gated on the BLOOM scale path:
+        # fixed-size driver bitmap + distributed exact string match —
+        # provably identical output to the broadcast-set path (which
+        # the gate still exercises inside curate_corpus), so the same
+        # SQL oracle checks both
+        "decontaminate": lambda sf: decontaminate.decontaminate(sf, mode="bloom"),
         # the full curation composition (dedup + held-out + decontam +
         # quality floor + shuffle key) — one tag pass, one groupby
         "curate_corpus": curate.curate_corpus,

@@ -133,6 +133,54 @@ def test_decontaminate_matches_bruteforce():
             want[d] = n
     got = decontaminate(SF, threshold_hex=thr, k=k).to_pandas()
     assert dict(zip(got["doc_id"], got["n_shared"])) == want
+    # the Bloom scale path produces the IDENTICAL exact result
+    got_b = decontaminate(SF, threshold_hex=thr, k=k, mode="bloom").to_pandas()
+    assert dict(zip(got_b["doc_id"], got_b["n_shared"])) == want
+
+
+def test_decontaminate_bloom_never_materializes_shingle_set(monkeypatch):
+    """mode='bloom' must hold only the fixed-size bitmap on the driver:
+    the exact-set builder (whose driver memory IS the shingle set) must
+    never run, and the bitmap must survive a tiny FP-heavy sizing."""
+    import themis_search_engine_ray.pipelines.decontaminate as dc
+
+    def boom(*a, **k):
+        raise AssertionError("benchmark_shingles must not run in bloom mode")
+
+    monkeypatch.setattr(dc, "benchmark_shingles", boom)
+    want = dc.decontaminate(SF, threshold_hex="1999", k=3, mode="bloom")
+    want = want.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(want) > 0
+    # a deliberately tiny bitmap (worst-case FP rate) still gives the
+    # exact result — false positives only cost verify work
+    tiny = dc.decontaminate(
+        SF, threshold_hex="1999", k=3, mode="bloom", n_bits=1024
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert tiny.equals(want)
+
+
+def test_bloom_fp_rate_is_bounded():
+    """Observed false-positive rate of the Bloom filter stays within 2x
+    of the theoretical (1 - e^{-kn/m})^k bound."""
+    import numpy as np
+
+    from themis_search_engine_ray.pipelines.decontaminate import (
+        _bloom_positions,
+        _bloom_probe,
+        _bloom_set,
+    )
+
+    rng = np.random.RandomState(3)
+    n_bits, n_hashes, n_in = 1 << 16, 4, 4000
+    members = rng.randint(0, 1 << 63, n_in).astype(np.uint64)
+    words = np.zeros(n_bits // 64, np.uint64)
+    _bloom_set(words, _bloom_positions(members, n_bits, n_hashes))
+    # membership: no false negatives, ever
+    assert _bloom_probe(words, _bloom_positions(members, n_bits, n_hashes)).all()
+    probes = rng.randint(0, 1 << 63, 200_000).astype(np.uint64)
+    fp = _bloom_probe(words, _bloom_positions(probes, n_bits, n_hashes)).mean()
+    theo = (1.0 - np.exp(-n_hashes * n_in / n_bits)) ** n_hashes
+    assert fp <= 2 * theo + 1e-4, (fp, theo)
 
 
 def test_repetition_scores_match_bruteforce():
