@@ -132,26 +132,42 @@ def term_df_nostem_nostop(sf_dir: str):
     )
 
 
-def _bm25(sf_dir: str, cfg: AnalyzerConfig, k: int | None, round_to: int | None):
+def _bm25(
+    sf_dir: str,
+    cfg: AnalyzerConfig,
+    k: int | None,
+    round_to: int | None,
+    distributed: bool = False,
+):
+    """``distributed=True`` serves through the ``SearchEngine`` actor
+    pool (shard actors + driver merge — the cluster serving topology)
+    instead of the in-process ``LocalSearchEngine``; results are
+    bit-identical by the actor-packing-invariance contract
+    (tests/test_engine_topology.py), so either path satisfies the same
+    oracle."""
     import pandas as pd
 
-    from ..state.searcher import LocalSearchEngine
+    from ..state.searcher import LocalSearchEngine, SearchEngine
 
     idx = build_or_get_index(sf_dir, cfg)
-    eng = LocalSearchEngine(idx)
+    eng = SearchEngine(idx) if distributed else LocalSearchEngine(idx)
     rows = []
-    for qid, q in enumerate(EVAL_QUERIES):
-        hits = eng.search(q, k=k if k is not None else 1 << 30)
-        for rank, h in enumerate(hits):
-            rows.append(
-                (
-                    qid,
-                    rank,
-                    h.conv_id,
-                    h.turn_idx,
-                    round_half_up(h.score, round_to) if round_to else h.score,
+    try:
+        for qid, q in enumerate(EVAL_QUERIES):
+            hits = eng.search(q, k=k if k is not None else 1 << 30)
+            for rank, h in enumerate(hits):
+                rows.append(
+                    (
+                        qid,
+                        rank,
+                        h.conv_id,
+                        h.turn_idx,
+                        round_half_up(h.score, round_to) if round_to else h.score,
+                    )
                 )
-            )
+    finally:
+        if distributed:
+            eng.close()  # release the shard actors
     df = pd.DataFrame(rows, columns=["qid", "rank", "conv_id", "turn_idx", "score"])
     df["qid"] = df["qid"].astype("int64")
     df["rank"] = df["rank"].astype("int64")
@@ -219,8 +235,14 @@ def _topk_rounded(df, k: int):
 
 def bm25_topk_nostem(sf_dir: str, k: int = 10):
     """SQL-oracle-checkable top-k: nostem BM25 over all OR matches,
-    rounded to 4, ranked deterministically (see :func:`_topk_rounded`)."""
-    df = _bm25(sf_dir, AnalyzerConfig(use_stemmer=False), k=None, round_to=4)
+    rounded to 4, ranked deterministically (see :func:`_topk_rounded`).
+    Served through the DISTRIBUTED ``SearchEngine`` actor pool, so the
+    driver gate exercises the cluster serving topology, not just the
+    in-process engine (which every other fulltext entry still covers)."""
+    df = _bm25(
+        sf_dir, AnalyzerConfig(use_stemmer=False), k=None, round_to=4,
+        distributed=True,
+    )
     return _topk_rounded(df.drop(columns=["rank"]), k)
 
 
