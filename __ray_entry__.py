@@ -258,6 +258,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_priority": lambda sf: curate.curate_corpus(
             sf, source_priority=CURATE_PRIORITY
         ),
+        # the >256-shard (two-byte key-prefix) shuffle space: same
+        # assignment surface as shuffle_manifest at 1024 shards
+        # (value-exact; shuffle_manifest holds the family's gate row)
+        "shuffle_manifest_wide": lambda sf: shuffle.shuffle_manifest(
+            sf, num_shards=1024
+        ),
     }
 
 
@@ -633,6 +639,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(((instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16 "
             "+ (instr('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1)) "
             "* 16 // 256 AS BIGINT) AS shard FROM k"
+        ),
+        "shuffle_manifest_wide": (
+            "WITH k AS (SELECT doc_id, "
+            "md5(CAST(doc_id AS VARCHAR) || ':0') AS shuffle_key FROM documents), "
+            "p AS (SELECT doc_id, shuffle_key, "
+            "(instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 4096 "
+            "+ (instr('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1) * 256 "
+            "+ (instr('0123456789abcdef', substr(shuffle_key, 3, 1)) - 1) * 16 "
+            "+ (instr('0123456789abcdef', substr(shuffle_key, 4, 1)) - 1) "
+            "AS prefix FROM k) "
+            "SELECT doc_id, shuffle_key, "
+            "CAST(prefix * 1024 // 65536 AS BIGINT) AS shard FROM p"
         ),
         "pack_offsets": (
             "WITH k AS (SELECT doc_id, "
