@@ -195,3 +195,15 @@ def test_bm25_math_closed_form():
     s = term_score(1.0, 10, 8.0, want_idf)
     expect = want_idf * (1.0 * 3.0) / (1.0 + 2.0 * (0.25 + 0.75 * (10 / 8.0)))
     assert abs(s - expect) < 1e-15
+
+
+def test_is_op_word_matches_reference_semantics():
+    """StopWords.isOpWord parity (StopWords.java:108-115):
+    case-insensitive {and, or, not}, nothing else — notably 'AND' in
+    any case, and no overlap assumption with the stopword list."""
+    from themis_search_engine_ray.functions.analyzer import is_op_word
+
+    for w in ("and", "AND", "And", "or", "OR", "not", "NoT"):
+        assert is_op_word(w)
+    for w in ("", "a", "nor", "android", "ort", "the", "knot"):
+        assert not is_op_word(w)

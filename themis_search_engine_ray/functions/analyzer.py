@@ -55,6 +55,19 @@ def _load_stopwords() -> frozenset[str]:
 
 STOPWORDS: frozenset[str] = _load_stopwords()
 
+# boolean operator words (StopWords.isOpWord, StopWords.java:108-115).
+# The reference recognizes these but never calls the recognizer — it is
+# dead code there; mirrored here for surface parity so a future boolean
+# query parser has the same primitive.
+_OP_WORDS = frozenset({"and", "or", "not"})
+
+
+def is_op_word(word: str) -> bool:
+    """Case-insensitive membership in {and, or, not} — the reference's
+    ``StopWords.isOpWord`` (StopWords.java:108-115), byte-for-byte
+    semantics (compareToIgnoreCase against the three literals)."""
+    return word.lower() in _OP_WORDS
+
 
 @dataclass(frozen=True)
 class AnalyzerConfig:
