@@ -264,6 +264,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_manifest_wide": lambda sf: shuffle.shuffle_manifest(
             sf, num_shards=1024
         ),
+        # multimodal post-decode stages (value-exact geometry; the
+        # pixel/frame codecs stay environment-forced plugs like the
+        # decoder itself — media_features holds the family's gate row)
+        "media_resize": lambda sf: multimodal.media_resize(sf).select_columns(
+            ["media_id", "media_type", "height", "width", "out_height", "out_width"]
+        ),
+        "frame_samples": lambda sf: multimodal.frame_samples(sf),
     }
 
 
@@ -899,6 +906,28 @@ def oracle_sql() -> dict[str, str]:
     out["clean_text"] = _clean_text_sql()
     # fake-decoder dims are a pure function of the manifest checksum
     out["media_features"] = _media_features_sql()
+    # post-decode geometry over the same dims: aspect-fit integer
+    # division / uniform-stride frame indices via generate_series
+    out["media_resize"] = (
+        f"WITH f AS ({_media_features_sql()}) "
+        "SELECT media_id, media_type, height, width, "
+        "CAST(CASE WHEN greatest(height, width) > 256 THEN "
+        "greatest(CAST(height AS BIGINT) * 256 // greatest(height, width), 1) "
+        "ELSE height END AS INTEGER) AS out_height, "
+        "CAST(CASE WHEN greatest(height, width) > 256 THEN "
+        "greatest(CAST(width AS BIGINT) * 256 // greatest(height, width), 1) "
+        "ELSE width END AS INTEGER) AS out_width FROM f"
+    )
+    out["frame_samples"] = (
+        f"WITH f AS ({_media_features_sql()}), "
+        "k AS (SELECT media_id, media_type, n_frames, "
+        "least(n_frames, 8) AS kf FROM f) "
+        "SELECT media_id, media_type, CAST(i AS BIGINT) AS frame_pos, "
+        "CAST(i * n_frames // kf AS BIGINT) AS frame_idx "
+        # constant series + filter: DuckDB's generate_series cannot take
+        # a correlated (per-row) bound
+        "FROM k CROSS JOIN generate_series(0, 7) AS g(i) WHERE i < kf"
+    )
     # md5-derived stub lexicon replicated digit-for-digit
     out["wordnet_synonyms"] = _wordnet_synonyms_sql()
     # the curation composition recombines its ingredients' proven SQL

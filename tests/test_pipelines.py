@@ -398,6 +398,62 @@ def test_media_pipeline_plumbing():
         )
 
 
+def test_media_resize_and_frame_sampling_geometry():
+    """Resize: aspect-preserving fit into the target box, never
+    upscaling, floor 1. Frame sampling: k = min(max_frames, n) uniform
+    stride indices, strictly within range, non-decreasing, first = 0."""
+    import pyarrow as pa
+
+    from themis_search_engine_ray.pipelines.multimodal import (
+        FrameSampler,
+        MediaResizer,
+        frame_samples,
+        media_resize,
+    )
+
+    # hand-built edge dims: tall, wide, tiny, exactly-target, 1-pixel
+    feats = pa.table(
+        {
+            "media_id": [1, 2, 3, 4, 5],
+            "media_type": ["image"] * 5,
+            "height": pa.array([1024, 16, 256, 300, 1], pa.int32()),
+            "width": pa.array([16, 1024, 256, 4000, 1], pa.int32()),
+            "n_frames": pa.array([1, 1, 1, 1, 1], pa.int32()),
+        }
+    )
+    out = MediaResizer(target=256)(feats)
+    got = list(
+        zip(out["out_height"].to_pylist(), out["out_width"].to_pylist())
+    )
+    assert got == [(256, 4), (4, 256), (256, 256), (19, 256), (1, 1)]
+    assert max(max(p) for p in got) <= 256  # never exceeds the box
+    # end-to-end over the fixture: downscale-only invariant
+    df = media_resize(SF).to_pandas()
+    assert (df["out_height"] <= df[["height", "width"]].max(axis=1).clip(upper=256).where(df["height"] <= 256, 256)).all()
+    assert ((df["out_height"] <= df["height"]) & (df["out_width"] <= df["width"])).all()
+    assert (df[["out_height", "out_width"]].max(axis=1) <= 256).all()
+
+    fs = FrameSampler(max_frames=4)(
+        pa.table(
+            {
+                "media_id": [7, 8],
+                "media_type": ["video", "video"],
+                "n_frames": pa.array([10, 3], pa.int32()),
+            }
+        )
+    )
+    rows = list(zip(fs["media_id"].to_pylist(), fs["frame_pos"].to_pylist(), fs["frame_idx"].to_pylist()))
+    assert rows == [
+        (7, 0, 0), (7, 1, 2), (7, 2, 5), (7, 3, 7),
+        (8, 0, 0), (8, 1, 1), (8, 2, 2),
+    ]
+    df = frame_samples(SF).to_pandas()
+    g = df.groupby("media_id")
+    assert (g["frame_pos"].min() == 0).all()
+    assert (g.size() <= 8).all()
+    assert (df["frame_idx"] >= 0).all()
+
+
 def test_quality_and_token_counts_basic():
     import pyarrow as pa
 

@@ -134,3 +134,101 @@ def media_features(sf_dir: str, decoder: str = "fake"):
         concurrency=2,
         zero_copy_batch=True,
     )
+
+
+class MediaResizer:
+    """Actor-pool resize stage: aspect-preserving fit of each medium
+    into a ``target``×``target`` box, never upscaling.
+
+    The GEOMETRY is real, vectorized integer math (and therefore
+    SQL-oracle-exact): if ``max(h, w) <= target`` the dims pass
+    through; else the longest side scales to ``target`` and the other
+    scales proportionally with floor division, floored at 1. The pixel
+    RESAMPLE itself is the codec plug (``_resample_real`` — PIL/ffmpeg,
+    absent here), mirroring :class:`MediaDecoder`'s split between real
+    Ray plumbing and stubbed codecs."""
+
+    def __init__(self, target: int = 256):
+        if target < 1:
+            raise ValueError(f"target must be >= 1, got {target}")
+        self.target = target
+        # real deployment: import PIL here, once per actor
+
+    def _resample_real(self, payload: bytes, out_h: int, out_w: int) -> bytes:
+        raise NotImplementedError(
+            "pixel resampling needs PIL/ffmpeg (not in this environment); "
+            "plug a real resampler here"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = np.int64(self.target)
+        h = batch["height"].to_numpy().astype(np.int64)
+        w = batch["width"].to_numpy().astype(np.int64)
+        longest = np.maximum(h, w)
+        down = longest > t
+        out_h = np.where(down, np.maximum(h * t // longest, 1), h)
+        out_w = np.where(down, np.maximum(w * t // longest, 1), w)
+        out = batch.append_column("out_height", pa.array(out_h.astype(np.int32)))
+        return out.append_column("out_width", pa.array(out_w.astype(np.int32)))
+
+
+class FrameSampler:
+    """Actor-pool uniform-stride frame sampling: each medium keeps
+    ``k = min(max_frames, n_frames)`` frames at indices
+    ``frame_idx(i) = i·n_frames // k`` (i in [0, k)) — the standard
+    video-pretraining subsample, a pure function of the row, exploded
+    to one output row per kept frame. Whole-batch vectorized
+    (repeat + arange; no per-medium Python). The frame EXTRACTION is
+    the codec plug, as above."""
+
+    def __init__(self, max_frames: int = 8):
+        if max_frames < 1:
+            raise ValueError(f"max_frames must be >= 1, got {max_frames}")
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch["n_frames"].to_numpy().astype(np.int64)
+        k = np.minimum(n, self.max_frames)
+        total = int(k.sum())
+        reps = np.repeat(np.arange(len(k), dtype=np.int64), k)
+        base = np.concatenate(([0], np.cumsum(k)[:-1])) if len(k) else k
+        pos = np.arange(total, dtype=np.int64) - np.repeat(base, k)
+        idx = pos * n[reps] // k[reps]
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch["media_id"].take(pa.array(reps)),
+                "media_type": batch["media_type"].take(pa.array(reps)),
+                "frame_pos": pa.array(pos),
+                "frame_idx": pa.array(idx),
+            }
+        )
+
+
+def media_resize(sf_dir: str, target: int = 256, decoder: str = "fake"):
+    """Decode → resize plan: (media_id, media_type, height, width,
+    n_frames, out_height, out_width).
+
+    The geometry stage rides the TASK pool (a pre-constructed callable
+    instance), not a second actor pool: stacking fixed-concurrency
+    actor pools behind the decoder's pool can reserve every CPU on a
+    small cluster and starve the read tasks (observed as a deadlock
+    under the 4-CPU test session). A deployment that plugs a real
+    resampler should pass the CLASS with its own sized pool instead."""
+    return media_features(sf_dir, decoder).drop_columns(["feature"]).map_batches(
+        MediaResizer(target=target),
+        batch_format="pyarrow",
+        batch_size=64,
+        zero_copy_batch=True,
+    )
+
+
+def frame_samples(sf_dir: str, max_frames: int = 8, decoder: str = "fake"):
+    """Decode → frame sampling: one row per kept frame,
+    (media_id, media_type, frame_pos, frame_idx). Task-pool stage —
+    see :func:`media_resize` for why."""
+    return media_features(sf_dir, decoder).drop_columns(["feature"]).map_batches(
+        FrameSampler(max_frames=max_frames),
+        batch_format="pyarrow",
+        batch_size=64,
+        zero_copy_batch=True,
+    )
