@@ -353,6 +353,14 @@ def run_bench(build_only: bool = False) -> dict:
     n_clean = clean_text(docs_dir).count()
     clean_sec = time.time() - t0
 
+    # non-headline extra: the Bloom decontamination scale path over the
+    # same fixture (bitmap build + probe + distributed exact match)
+    from themis_search_engine_ray.pipelines.decontaminate import decontaminate
+
+    t0 = time.time()
+    n_decon = decontaminate(docs_dir, mode="bloom").count()
+    decon_sec = time.time() - t0
+
     # optional large-corpus build point: driver-visible throughput floor
     # at ~8x the headline corpus (BASELINE.md records the same regime)
     big = {}
@@ -401,6 +409,8 @@ def run_bench(build_only: bool = False) -> dict:
         "distinct_terms": ex0["distinct_terms"],
         "curated_rows": ex0["curated_rows"],
         "clean_docs_per_sec": round(n_clean / clean_sec, 1),
+        "decontam_bloom_sec": round(decon_sec, 3),
+        "decontam_bloom_flagged": n_decon,
         "repeats": repeats,
         "spread": {
             k: [round(r[k], 3) for r in runs] for k in runs[0]
