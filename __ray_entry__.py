@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["media_id", "media_type", "height", "width", "out_height", "out_width"]
         ),
         "frame_samples": lambda sf: multimodal.frame_samples(sf),
+        # PII redaction (emails/SSNs/cards/phones/IPs) — the clean_text
+        # RE2-parity contract extended to ordered, counted rules
+        # (value-exact; clean_text holds the scrubbing family's gate row)
+        "pii_redact": ta.pii_redact,
     }
 
 
@@ -928,6 +932,10 @@ def oracle_sql() -> dict[str, str]:
         # a correlated (per-row) bound
         "FROM k CROSS JOIN generate_series(0, 7) AS g(i) WHERE i < kf"
     )
+    # PII redaction: the same RE2 patterns chained in rule order, each
+    # count taken on the previous rule's output (CTE chain, each
+    # referenced once — no materialization blowup)
+    out["pii_redact"] = _pii_redact_sql()
     # md5-derived stub lexicon replicated digit-for-digit
     out["wordnet_synonyms"] = _wordnet_synonyms_sql()
     # the curation composition recombines its ingredients' proven SQL
@@ -1312,6 +1320,28 @@ def _clean_text_sql() -> str:
         f"CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails, "
         f"CAST(len(regexp_extract_all(text, '{s}')) AS BIGINT) AS n_single "
         "FROM documents"
+    )
+
+
+def _pii_redact_sql() -> str:
+    """DuckDB replica of text_analysis.pii_redact — the SAME ordered
+    RE2 rules through regexp_extract_all/regexp_replace, each stage
+    counting on the previous stage's redacted text."""
+    from themis_search_engine_ray.pipelines.text_analysis import PII_RULES
+
+    ctes = ["s0 AS (SELECT doc_id, text AS t FROM documents)"]
+    count_cols: list[str] = []
+    for i, (name, pat, tok) in enumerate(PII_RULES, 1):
+        carried = "".join(f", {c}" for c in count_cols)
+        ctes.append(
+            f"s{i} AS (SELECT doc_id{carried}, "
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{tok}', 'g') AS t FROM s{i - 1})"
+        )
+        count_cols.append(f"n_{name}")
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT doc_id, t AS redacted_text, "
+        + ", ".join(count_cols) + f" FROM s{len(PII_RULES)}"
     )
 
 

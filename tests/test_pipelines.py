@@ -658,6 +658,83 @@ def test_clean_text_rules():
     assert out["n_single"] == [3, 5, 0, 1]
 
 
+def test_pii_redact_rules():
+    import pyarrow as pa
+
+    from themis_search_engine_ray.pipelines.text_analysis import pii_redact_batch
+
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "mail bob.smith+x@foo.org or call +1 555-123-4567 now",
+                "ssn 123-45-6789 card 1234 5678 9012 3456 end",
+                "host 192.168.1.100 and (555) 123 4567",
+                "no pii here, just words and 12 numbers",
+                "card 1234-5678-9012-3456 is NOT two phones",
+            ],
+        }
+    )
+    out = pii_redact_batch(batch).to_pydict()
+    assert out["redacted_text"] == [
+        "mail <EMAIL> or call <PHONE> now",
+        "ssn <SSN> card <CC> end",
+        "host <IP> and <PHONE>",
+        "no pii here, just words and 12 numbers",
+        "card <CC> is NOT two phones",
+    ]
+    assert out["n_email"] == [1, 0, 0, 0, 0]
+    assert out["n_ssn"] == [0, 1, 0, 0, 0]
+    # the card rule runs BEFORE the phone rule, so a 16-digit grouped
+    # number is attributed once (not as two 8-digit phone fragments)
+    assert out["n_cc"] == [0, 1, 0, 0, 1]
+    assert out["n_phone"] == [1, 0, 1, 0, 0]
+    assert out["n_ip"] == [0, 0, 1, 0, 0]
+
+
+def test_pii_redact_matches_duckdb_oracle():
+    """Engine vs the _pii_redact_sql oracle on PII-LADEN synthetic
+    text — the sf tables contain zero PII shapes, so this is where the
+    RE2-parity contract is actually exercised."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as entry
+    from themis_search_engine_ray.pipelines.text_analysis import pii_redact_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": list(range(8)),
+            "text": [
+                "a@b.io c@d.co twice, +44 20 7946 0958 intl-ish",
+                "edge 999.999.999.999 still dotted-quad shaped",
+                "adjacent 555-123-4567555-123-4567 digit run",
+                "(555)123-4567 tight parens",
+                "1234 5678 9012 3456 7890 twenty digits",
+                "",
+                "plain text only",
+                "dot.ted@multi.part.domain.com 10.0.0.1",
+            ],
+        }
+    )
+    got = (
+        pii_redact_batch(tbl)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(entry.oracle_sql()["pii_redact"] + " ORDER BY doc_id")
+        .df()
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert got[c].tolist() == want[c].tolist(), c
+
+
 def test_clean_text_dataset_runs(ray_session):
     from themis_search_engine_ray.pipelines.text_analysis import clean_text
 

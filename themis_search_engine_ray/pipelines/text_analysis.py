@@ -418,3 +418,58 @@ def clean_text(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
         clean_text_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# PII redaction — the same engine-shared RE2 contract as the C4 rules
+# above (pyarrow.compute and DuckDB both wrap RE2, so the oracle is
+# bit-exact by construction). Shapes covered: e-mail addresses,
+# SSN-shaped ids (3-2-4 digits), 16-digit grouped card numbers,
+# NANP-style phone numbers with an optional +CC prefix, dotted-quad
+# IPv4 literals. RE2 has no lookaround, so boundaries are \b-anchored
+# heuristics: a rule may over-match inside exotic digit runs — the
+# rules are ordered most-specific-first (card before phone) and each
+# rule COUNTS on the text as already redacted by the previous rules,
+# so one digit run is attributed to exactly one category.
+PII_EMAIL_RE = CLEAN_EMAIL_RE
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+PII_CC_RE = r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b"
+# \b sits AFTER the optional "(" / "+1 " prefix: a boundary before "+"
+# would reject " +1 555…" (space|+ is non-word|non-word).
+PII_PHONE_RE = r"(?:\+\d{1,2}[ .-]?)?\(?\b\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b"
+PII_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+# (count-column suffix, RE2 pattern, replacement token) — ORDER IS THE
+# CONTRACT: e-mail first (its local part can contain digit runs), then
+# ssn/card/phone from most- to least-specific digit shape, IPs last.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", PII_EMAIL_RE, "<EMAIL>"),
+    ("ssn", PII_SSN_RE, "<SSN>"),
+    ("cc", PII_CC_RE, "<CC>"),
+    ("phone", PII_PHONE_RE, "<PHONE>"),
+    ("ip", PII_IP_RE, "<IP>"),
+]
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, redacted_text, n_email, n_ssn, n_cc, n_phone, n_ip) —
+    each PII shape replaced by its ``<TOKEN>``, counts taken rule by
+    rule on the progressively redacted text (see PII_RULES order)."""
+    t = batch["text"]
+    counts = []
+    for _, pat, tok in PII_RULES:
+        counts.append(pc.cast(pc.count_substring_regex(t, pat), pa.int64()))
+        t = pc.replace_substring_regex(t, pattern=pat, replacement=tok)
+    return pa.Table.from_arrays(
+        [batch["doc_id"], t, *counts],
+        names=["doc_id", "redacted_text"] + [f"n_{n}" for n, _, _ in PII_RULES],
+    )
+
+
+def pii_redact(sf_dir: str):
+    """PII scrubbing over the documents table — one streaming
+    pruned-column pass, all-RE2 vectorized kernels, no shuffle."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(pii_redact_batch, batch_format="pyarrow", zero_copy_batch=True)
