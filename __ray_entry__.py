@@ -275,6 +275,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RE2-parity contract extended to ordered, counted rules
         # (value-exact; clean_text holds the scrubbing family's gate row)
         "pii_redact": ta.pii_redact,
+        # sliding-window fixed-token chunking (the splitting complement
+        # of pack_offsets' packing; value-exact vs a list_slice oracle)
+        "chunk_documents": ta.chunk_documents,
     }
 
 
@@ -936,6 +939,9 @@ def oracle_sql() -> dict[str, str]:
     # count taken on the previous rule's output (CTE chain, each
     # referenced once — no materialization blowup)
     out["pii_redact"] = _pii_redact_sql()
+    # sliding-window chunking via list_slice over the shared [a-z0-9]+
+    # tokenization (constant series + filter, like frame_samples)
+    out["chunk_documents"] = _chunk_documents_sql()
     # md5-derived stub lexicon replicated digit-for-digit
     out["wordnet_synonyms"] = _wordnet_synonyms_sql()
     # the curation composition recombines its ingredients' proven SQL
@@ -1342,6 +1348,34 @@ def _pii_redact_sql() -> str:
     return (
         "WITH " + ", ".join(ctes) + " SELECT doc_id, t AS redacted_text, "
         + ", ".join(count_cols) + f" FROM s{len(PII_RULES)}"
+    )
+
+
+def _chunk_documents_sql() -> str:
+    """DuckDB replica of text_analysis.chunk_documents: the shared
+    ``[a-z0-9]+``-runs-of-lower(text) tokenization, then chunk k =
+    1-based token slice [k·stride+1, k·stride+max_tokens], emitted
+    while the previous chunk hasn't reached the doc's end. Constant
+    series + filter (generate_series can't take a correlated bound);
+    the 0..4095 bound caps the ORACLE at ~230k tokens/doc — the engine
+    itself has no such cap."""
+    from themis_search_engine_ray.pipelines.text_analysis import (
+        CHUNK_MAX_TOKENS,
+        CHUNK_OVERLAP,
+    )
+
+    mt = CHUNK_MAX_TOKENS
+    st = CHUNK_MAX_TOKENS - CHUNK_OVERLAP
+    return (
+        "WITH toks AS (SELECT doc_id, list_filter(string_split_regex("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk FROM documents), "
+        "t2 AS (SELECT doc_id, tk, len(tk) AS nt FROM toks) "
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+        f"CAST(least({mt}, nt - i * {st}) AS BIGINT) AS n_tokens, "
+        f"array_to_string(list_slice(tk, i * {st} + 1, i * {st} + {mt}), ' ') "
+        "AS chunk_text "
+        "FROM t2 CROSS JOIN generate_series(0, 4095) AS g(i) "
+        f"WHERE nt > 0 AND (i = 0 OR (i - 1) * {st} + {mt} < nt)"
     )
 
 

@@ -735,6 +735,87 @@ def test_pii_redact_matches_duckdb_oracle():
         assert got[c].tolist() == want[c].tolist(), c
 
 
+def test_chunk_documents_windows():
+    import pyarrow as pa
+
+    from themis_search_engine_ray.pipelines.text_analysis import (
+        chunk_documents_batch,
+    )
+
+    toks = lambda k: " ".join(f"t{i}" for i in range(k))
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                toks(5),  # shorter than the window: one chunk
+                toks(10),  # 10 tokens, window 6 stride 4: chunks at 0, 4
+                toks(6),  # exactly one full window
+                "",  # empty: no chunks
+                toks(7),  # one token past the window: second chunk
+            ],
+        }
+    )
+    out = chunk_documents_batch(batch, max_tokens=6, overlap=2).to_pydict()
+    assert out["doc_id"] == [1, 2, 2, 3, 5, 5]
+    assert out["chunk_idx"] == [0, 0, 1, 0, 0, 1]
+    assert out["n_tokens"] == [5, 6, 6, 6, 6, 3]
+    assert out["chunk_text"][1] == "t0 t1 t2 t3 t4 t5"
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert out["chunk_text"][2] == "t4 t5 t6 t7 t8 t9"
+    assert out["chunk_text"][5] == "t4 t5 t6"
+
+
+def test_chunk_documents_matches_duckdb_oracle():
+    """Engine vs the _chunk_documents_sql oracle on adversarial token
+    counts: the exact-boundary, one-past-boundary and empty shapes."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as entry
+    from themis_search_engine_ray.pipelines.text_analysis import (
+        CHUNK_MAX_TOKENS,
+        CHUNK_OVERLAP,
+        chunk_documents_batch,
+    )
+
+    st = CHUNK_MAX_TOKENS - CHUNK_OVERLAP
+    counts = [
+        0,
+        1,
+        CHUNK_MAX_TOKENS - 1,
+        CHUNK_MAX_TOKENS,
+        CHUNK_MAX_TOKENS + 1,
+        st,
+        2 * st + CHUNK_MAX_TOKENS,
+        2 * st + CHUNK_MAX_TOKENS + 1,
+        500,
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(counts))),
+            "text": [" ".join(f"w{i}" for i in range(k)) for k in counts],
+        }
+    )
+    got = (
+        chunk_documents_batch(tbl)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(
+            entry.oracle_sql()["chunk_documents"] + " ORDER BY doc_id, chunk_idx"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert got[c].tolist() == want[c].tolist(), c
+
+
 def test_clean_text_dataset_runs(ray_session):
     from themis_search_engine_ray.pipelines.text_analysis import clean_text
 

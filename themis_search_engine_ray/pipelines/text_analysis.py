@@ -473,3 +473,99 @@ def pii_redact(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(pii_redact_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Fixed-token sliding-window chunking (the training-data complement of
+# pack_offsets: packing joins short docs, chunking splits long ones).
+# Tokenization = the [a-z0-9]+ runs of lower(text) — the SAME shared
+# convention as dedup shingling / pack_offsets / mixing token counts.
+CHUNK_MAX_TOKENS = 64
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents_batch(
+    batch: pa.Table,
+    max_tokens: int = CHUNK_MAX_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> pa.Table:
+    """(doc_id, chunk_idx, n_tokens, chunk_text): chunk k covers token
+    positions [k·stride, k·stride + max_tokens) with stride =
+    max_tokens − overlap; chunks are emitted until one reaches the
+    document's end (a doc shorter than max_tokens yields exactly one
+    chunk; an empty doc yields none), so consecutive chunks share
+    ``overlap`` tokens and no chunk is a strict suffix of its
+    predecessor. Whole-batch vectorized: one tokenize pass, chunk/token
+    fan-out as numpy ragged gathers, text rebuilt by one
+    ``binary_join`` — no per-row Python."""
+    from ..stages.tokenize import token_codes_batch
+
+    stride = max_tokens - overlap
+    if stride < 1:
+        raise ValueError(f"overlap {overlap} must be < max_tokens {max_tokens}")
+    uniq, codes, lens, n = token_codes_batch(batch["text"], lower_first=True)
+    doc_of_all = np.repeat(np.arange(n, dtype=np.int64), lens)
+    if len(uniq):
+        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
+        keep = real[codes]
+    else:
+        keep = np.zeros(0, bool)
+    doc_of = doc_of_all[keep]
+    tok_codes = codes[keep]
+    nt = np.bincount(doc_of, minlength=n).astype(np.int64)
+    doc_tok_off = np.zeros(n + 1, np.int64)
+    np.cumsum(nt, out=doc_tok_off[1:])
+
+    n_chunks = np.where(
+        nt > 0, 1 + (np.maximum(nt - max_tokens, 0) + stride - 1) // stride, 0
+    ).astype(np.int64)
+    total = int(n_chunks.sum())
+    chunk_doc = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    coff = np.zeros(n + 1, np.int64)
+    np.cumsum(n_chunks, out=coff[1:])
+    chunk_k = np.arange(total, dtype=np.int64) - np.repeat(coff[:-1], n_chunks)
+    chunk_start = chunk_k * stride
+    chunk_len = np.minimum(max_tokens, nt[chunk_doc] - chunk_start)
+
+    toff = np.zeros(total + 1, np.int64)
+    np.cumsum(chunk_len, out=toff[1:])
+    n_out = int(toff[-1])
+    within = np.arange(n_out, dtype=np.int64) - np.repeat(toff[:-1], chunk_len)
+    gidx = (
+        doc_tok_off[chunk_doc].repeat(chunk_len)
+        + chunk_start.repeat(chunk_len)
+        + within
+    )
+    tok_strings = pa.array(uniq, pa.string()).take(pa.array(tok_codes[gidx]))
+    chunks = pa.ListArray.from_arrays(
+        pa.array(toff, pa.int32()), tok_strings.combine_chunks()
+        if isinstance(tok_strings, pa.ChunkedArray)
+        else tok_strings,
+    )
+    return pa.Table.from_arrays(
+        [
+            batch["doc_id"].take(pa.array(chunk_doc)),
+            pa.array(chunk_k, pa.int64()),
+            pa.array(chunk_len, pa.int64()),
+            pc.binary_join(chunks, " "),
+        ],
+        names=["doc_id", "chunk_idx", "n_tokens", "chunk_text"],
+    )
+
+
+def chunk_documents(
+    sf_dir: str,
+    max_tokens: int = CHUNK_MAX_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+):
+    """Sliding-window document chunking over the documents table — one
+    streaming pruned-column pass, no shuffle; output rows ≈ corpus
+    tokens / stride regardless of document skew (a 1M-token doc fans
+    out to ~18k bounded rows inside its batch, never one giant row)."""
+    import ray.data as rd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return chunk_documents_batch(batch, max_tokens, overlap)
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
