@@ -361,6 +361,20 @@ def run_bench(build_only: bool = False) -> dict:
     n_decon = decontaminate(docs_dir, mode="bloom").count()
     decon_sec = time.time() - t0
 
+    # non-headline extras: PII redaction + sliding-window chunking over
+    # the same fixture (both single-pass vectorized, no shuffle)
+    from themis_search_engine_ray.pipelines.text_analysis import (
+        chunk_documents,
+        pii_redact,
+    )
+
+    t0 = time.time()
+    n_pii = pii_redact(docs_dir).count()
+    pii_sec = time.time() - t0
+    t0 = time.time()
+    n_chunks = chunk_documents(docs_dir).count()
+    chunk_sec = time.time() - t0
+
     # optional large-corpus build point: driver-visible throughput floor
     # at ~8x the headline corpus (BASELINE.md records the same regime)
     big = {}
@@ -411,6 +425,8 @@ def run_bench(build_only: bool = False) -> dict:
         "clean_docs_per_sec": round(n_clean / clean_sec, 1),
         "decontam_bloom_sec": round(decon_sec, 3),
         "decontam_bloom_flagged": n_decon,
+        "pii_docs_per_sec": round(n_pii / pii_sec, 1),
+        "chunk_rows_per_sec": round(n_chunks / chunk_sec, 1),
         "repeats": repeats,
         "spread": {
             k: [round(r[k], 3) for r in runs] for k in runs[0]
