@@ -35,6 +35,7 @@ from themis_search_engine_ray.pipelines import (
     shuffle,
     similarity,
     sketches,
+    spans,
     windows,
 )
 from themis_search_engine_ray.pipelines import mixing
@@ -114,6 +115,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value-exact against the all-pairs oracle (minhash trick)
         "embedding_lsh_exact": dedup.embedding_lsh_exact,
         "dedup_clusters": dedup.dedup_clusters,
+        # duplicate-SPAN removal (Lee et al. exact-substring dedup at
+        # k-gram granularity): corpus-duplicated 5-grams masked from
+        # every doc — value-exact by construction (both sides key
+        # grams by md5(gram)); the distributed-join scale path is
+        # pytest-asserted equal to this broadcast path
+        "span_dedup": spans.span_dedup,
         # train/test decontamination, gated on the BLOOM scale path:
         # fixed-size driver bitmap + distributed exact string match —
         # provably identical output to the broadcast-set path (which
@@ -125,7 +132,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": curate.curate_corpus,
         # ---- iterative graph analytics (working replacement for the
         # reference's abandoned PageRank stub) ----
-        "pagerank_dup_graph": graph.pagerank_dup_graph,
         # the FULL citation path: S4 JSONL parse → vectorized edges →
         # J4 corpus semi-join (PageRank.java:98-105) → directed
         # PageRank with dangling mass, over a deterministic synthetic
@@ -271,6 +277,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["media_id", "media_type", "height", "width", "out_height", "out_width"]
         ),
         "frame_samples": lambda sf: multimodal.frame_samples(sf),
+        # PageRank over the similarity graph (value-exact; rotated past
+        # the gate to make room for span_dedup — the pagerank family's
+        # gate row is the strictly more end-to-end pagerank_citations)
+        "pagerank_dup_graph": graph.pagerank_dup_graph,
         # PII redaction (emails/SSNs/cards/phones/IPs) — the clean_text
         # RE2-parity contract extended to ordered, counted rules
         # (value-exact; clean_text holds the scrubbing family's gate row)
@@ -813,6 +823,33 @@ def oracle_sql() -> dict[str, str]:
             "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3"
+        ),
+        "span_dedup": (
+            # duplicate-span removal: both sides key grams by md5(gram)
+            # (value-exact by construction); 1-based positions here,
+            # 0-based in the engine — internal only
+            "WITH toks AS MATERIALIZED (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), "
+            "x -> x <> '') AS tl FROM documents), "
+            "pos AS MATERIALIZED (SELECT doc_id, "
+            "unnest(generate_series(1, len(tl) - 4)) AS p, "
+            "unnest([md5(array_to_string(tl[g : g + 4], ' ')) "
+            "for g in generate_series(1, len(tl) - 4)]) AS gk "
+            "FROM toks WHERE len(tl) >= 5), "
+            "dups AS MATERIALIZED (SELECT gk FROM pos GROUP BY gk HAVING count(*) >= 2), "
+            "masked AS MATERIALIZED (SELECT DISTINCT p.doc_id, p.p + ofs.o AS j "
+            "FROM pos p JOIN dups d USING (gk), generate_series(0, 4) ofs(o)), "
+            "tok_rows AS MATERIALIZED (SELECT doc_id, "
+            "unnest(generate_series(1, len(tl))) AS j, unnest(tl) AS tok "
+            "FROM toks WHERE len(tl) >= 1) "
+            "SELECT t.doc_id, CAST(len(t.tl) AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(m.cnt, 0) AS BIGINT) AS n_masked, "
+            "coalesce(kc.text_clean, '') AS text_clean FROM toks t "
+            "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM masked GROUP BY doc_id) m "
+            "USING (doc_id) "
+            "LEFT JOIN (SELECT r.doc_id, string_agg(r.tok, ' ' ORDER BY r.j) AS text_clean "
+            "FROM tok_rows r LEFT JOIN masked mm ON mm.doc_id = r.doc_id AND mm.j = r.j "
+            "WHERE mm.j IS NULL GROUP BY r.doc_id) kc USING (doc_id)"
         ),
         "knn_brute": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 10), "
