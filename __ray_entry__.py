@@ -23,6 +23,7 @@ from typing import Any
 
 from themis_search_engine_ray.functions.analyzer import STOPWORDS
 from themis_search_engine_ray.pipelines import (
+    conversations,
     curate,
     decontaminate,
     dedup,
@@ -288,6 +289,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window fixed-token chunking (the splitting complement
         # of pack_offsets' packing; value-exact vs a list_slice oracle)
         "chunk_documents": ta.chunk_documents,
+        # conversation-level view of the transcript corpus: all turns
+        # of a conv_id stitched back in turn order (bucketed-vectorized
+        # assembly — no per-conversation Python; value-exact vs an
+        # ordered string_agg oracle)
+        "conversation_assemble": conversations.conversation_assemble,
+        # incremental exact dedup of a new shard against the already-
+        # ingested corpus — seen/new split by the shared held-out rule,
+        # keep decision encoded in one Min-aggregate key (value-exact)
+        "incremental_dedup": dedup.incremental_dedup,
+        # group-wise top-k (top-10 per source by alnum token count):
+        # per-batch partial top-k combiner → bounded groupby(source)
+        # (value-exact vs a row_number() window oracle)
+        "top_per_source": sampling.top_per_source,
     }
 
 
@@ -979,6 +993,38 @@ def oracle_sql() -> dict[str, str]:
     # sliding-window chunking via list_slice over the shared [a-z0-9]+
     # tokenization (constant series + filter, like frame_samples)
     out["chunk_documents"] = _chunk_documents_sql()
+    # conversation reassembly: ordered string_agg over the same derived
+    # turns; NULL turn text renders as an empty line body (coalesce on
+    # both sides) and counts 0 chars
+    out["conversation_assemble"] = (
+        f"WITH {_TURNS_CTE} "
+        "SELECT conv_id, count(*) AS n_turns, "
+        "CAST(coalesce(sum(length(coalesce(text, ''))), 0) AS BIGINT) AS n_chars, "
+        "string_agg(role || ': ' || coalesce(text, ''), chr(10) "
+        "ORDER BY turn_idx) AS convo "
+        "FROM turns GROUP BY conv_id"
+    )
+    # incremental dedup: seen/new by the shared md5-prefix held-out
+    # rule; bit 62 in the Min key encodes "new" (engine key rule
+    # replicated literally)
+    out["incremental_dedup"] = (
+        "WITH tagged AS (SELECT doc_id, md5(text) AS text_hash, "
+        "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '1999' "
+        "THEN doc_id ELSE doc_id + 4611686018427387904 END AS k FROM documents), "
+        "agg AS (SELECT text_hash, min(k) AS k FROM tagged GROUP BY text_hash) "
+        "SELECT k - 4611686018427387904 AS doc_id, text_hash FROM agg "
+        "WHERE k >= 4611686018427387904"
+    )
+    # group-wise top-k: row_number window, ties broken by doc_id
+    out["top_per_source"] = (
+        "WITH t AS (SELECT doc_id, coalesce(source, '') AS source, "
+        "CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+')) AS BIGINT) "
+        "AS n_tokens FROM documents), "
+        "r AS (SELECT source, doc_id, n_tokens, CAST(row_number() OVER ("
+        "PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rank "
+        "FROM t) "
+        "SELECT source, doc_id, n_tokens, rank FROM r WHERE rank <= 10"
+    )
     # md5-derived stub lexicon replicated digit-for-digit
     out["wordnet_synonyms"] = _wordnet_synonyms_sql()
     # the curation composition recombines its ingredients' proven SQL

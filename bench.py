@@ -375,6 +375,24 @@ def run_bench(build_only: bool = False) -> dict:
     n_chunks = chunk_documents(docs_dir).count()
     chunk_sec = time.time() - t0
 
+    # non-headline extra: duplicate-span removal over the same fixture
+    # (one counting shuffle + one broadcast-probe mask pass)
+    from themis_search_engine_ray.pipelines.spans import span_dedup
+
+    t0 = time.time()
+    n_span = span_dedup(docs_dir).count()
+    span_sec = time.time() - t0
+
+    # non-headline extra: conversation reassembly (one bucketed groupby
+    # + whole-bucket vectorized stitch — the group-co-location pattern)
+    from themis_search_engine_ray.pipelines.conversations import (
+        conversation_assemble,
+    )
+
+    t0 = time.time()
+    n_convs = conversation_assemble(docs_dir).count()
+    conv_sec = time.time() - t0
+
     # optional large-corpus build point: driver-visible throughput floor
     # at ~8x the headline corpus (BASELINE.md records the same regime)
     big = {}
@@ -427,6 +445,8 @@ def run_bench(build_only: bool = False) -> dict:
         "decontam_bloom_flagged": n_decon,
         "pii_docs_per_sec": round(n_pii / pii_sec, 1),
         "chunk_rows_per_sec": round(n_chunks / chunk_sec, 1),
+        "span_dedup_docs_per_sec": round(n_span / span_sec, 1),
+        "conv_assemble_convs_per_sec": round(n_convs / conv_sec, 1),
         "repeats": repeats,
         "spread": {
             k: [round(r[k], 3) for r in runs] for k in runs[0]

@@ -1492,3 +1492,63 @@ def _join_verify_cosine(ds, candidates, threshold: float):
         return _cosine_rows(a, b, va, vb, threshold)
 
     return joined.map_batches(verify_joined, batch_format="pyarrow")
+
+
+# new-doc keys sort after every seen-doc key (bit 62 set; doc_ids are
+# far below 2^62 at any scale we address — asserted per batch)
+_INCR_NEW_BIT = 1 << 62
+
+
+def incremental_dedup(sf_dir: str, held_hex: str = "1999"):
+    """Incremental exact dedup: dedup a NEW shard of the corpus against
+    an already-ingested SEEN corpus, in one ``groupby`` pass.
+
+    The seen/new split uses THE shared held-out rule
+    (``md5(str(doc_id))[:4] <= held_hex`` → seen, the rest → new —
+    :func:`..pipelines.sampling.md5_prefix4_le`). A new document is
+    kept iff (a) no seen document has the same ``md5(text)`` content
+    hash and (b) it is the minimal-doc_id new document for that hash.
+    Output ``(doc_id, text_hash)`` of the kept new docs.
+
+    Scale design: same single-aggregate shape as ``curate_corpus`` —
+    the keep decision is encoded in the key (seen docs sort below new
+    ones via bit 62), so ONE ``aggregate(Min)`` over the content hash
+    answers both "hash already ingested?" and "first new copy?", with
+    no second shuffle, no join and no per-group Python. The seen side
+    never needs to be re-shuffled separately: at 100 TB the seen
+    corpus would instead be carried as its (hash → min-key) aggregate
+    from the previous run and unioned in — byte-identical semantics,
+    since Min is associative over the encoded keys.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .sampling import md5_prefix4_le
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        assert not len(ids) or int(ids.max()) < _INCR_NEW_BIT
+        seen = md5_prefix4_le(ids, held_hex)
+        key = np.where(seen, ids, ids + _INCR_NEW_BIT)
+        return pa.Table.from_arrays(
+            [md5_hex_array(batch["text"].to_pylist()), pa.array(key, pa.int64())],
+            names=["text_hash", "key"],
+        )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_hash")
+        .aggregate(Min("key", alias_name="key"))
+    )
+
+    def keep_new(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = batch.filter(pc.greater_equal(batch["key"], _INCR_NEW_BIT))
+        doc_id = pc.subtract(kept["key"], _INCR_NEW_BIT)
+        return pa.Table.from_arrays(
+            [doc_id, kept["text_hash"]], names=["doc_id", "text_hash"]
+        )
+
+    return agg.map_batches(keep_new, batch_format="pyarrow")

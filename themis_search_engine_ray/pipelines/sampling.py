@@ -384,3 +384,85 @@ def dataset_split(
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     ).map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _topn_in_order(src_codes, toks, ids, n):
+    """Indices of the per-source top-``n`` rows by (n_tokens DESC,
+    doc_id ASC), plus each kept row's 1-based rank — one lexsort and
+    one running-group-start pass, no per-group Python."""
+    m = len(ids)
+    if not m:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.lexsort((ids, -toks, src_codes))
+    sc = src_codes[order]
+    first = np.ones(m, bool)
+    first[1:] = sc[1:] != sc[:-1]
+    grp_start = np.maximum.accumulate(np.where(first, np.arange(m), 0))
+    rank = np.arange(m) - grp_start
+    keep = rank < n
+    return order[keep], rank[keep] + 1
+
+
+def top_per_source(sf_dir: str, n: int = 10):
+    """Per-source top-``n`` documents by alnum token count (ties broken
+    by ascending doc_id): ``(source, doc_id, n_tokens, rank)``.
+
+    The classic group-wise top-k, built scale-first: every batch first
+    reduces to AT MOST ``n`` rows per source it contains (vectorized
+    lexsort + running group-start rank — no per-group Python), so the
+    ``groupby(source)`` exchange moves ``n × blocks`` tiny rows per
+    source instead of the corpus, and the final per-source pass ranks
+    a bounded candidate set. NULL sources rank under ``""`` (the same
+    fill/coalesce key rule as mixing)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .text_analysis import token_counts_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (
+            token_counts_batch(batch.select(["doc_id", "text"]))["n_alnum_tokens"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        src = pc.fill_null(batch["source"], "")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        dsrc = src.dictionary_encode()
+        codes = dsrc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        keep, _ = _topn_in_order(codes, toks, ids, n)
+        return pa.Table.from_arrays(
+            [
+                src.take(pa.array(keep)),
+                pa.array(ids[keep], pa.int64()),
+                pa.array(toks[keep], pa.int64()),
+            ],
+            names=["source", "doc_id", "n_tokens"],
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy().astype(np.int64)
+        toks = group["n_tokens"].to_numpy().astype(np.int64)
+        keep, rank = _topn_in_order(np.zeros(len(ids), np.int64), toks, ids, n)
+        src = group["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                src.take(pa.array(keep)),
+                pa.array(ids[keep], pa.int64()),
+                pa.array(toks[keep], pa.int64()),
+                pa.array(rank, pa.int64()),
+            ],
+            names=["source", "doc_id", "n_tokens", "rank"],
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(final, batch_format="pyarrow")
+    )
