@@ -92,7 +92,7 @@ def curate_corpus(
 
         bset_, bhash_ = ray.get(ref)
         ids = batch["doc_id"].to_numpy()
-        th = md5_hex_array(batch["text"].to_pylist())
+        th = md5_hex_array(batch["text"])
         held = md5_prefix4_le(ids.tolist(), held_hex)
         shared = shared_shingle_counts(batch["text"], bset_, bhash_, k)
         quality = quality_batch(batch)["quality_score"].to_numpy()

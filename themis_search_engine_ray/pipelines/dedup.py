@@ -342,23 +342,62 @@ def minhash_signature(sh_hashes: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------- exact
 
 
-def md5_hex_array(texts: "list[str | None]") -> pa.Array:
-    """Vectorized md5-hex of a text sequence (None → "") — THE exact-
-    dedup content-hash rule, shared with curate. One md5 per row is
-    irreducible; the hex column is built in bulk (digests joined into
-    one buffer, one hexlify pass, zero-copy StringArray) instead of a
-    per-row hexdigest+str. Batches must stay under int32 string
-    offsets (~67M rows — far above any map_batches block)."""
+def _utf8_slices(arr):
+    """(offsets int64 ndarray, data memoryview) of an Arrow string
+    array, nulls normalized to empty slices — feeds hashing straight
+    from the Arrow buffer, skipping ``to_pylist`` + ``str.encode``
+    (measured ~1.8x on the md5 pass)."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        offs = np.frombuffer(bufs[1], np.int64, len(arr) + 1, offset=arr.offset * 8)
+    else:
+        offs = np.frombuffer(
+            bufs[1], np.int32, len(arr) + 1, offset=arr.offset * 4
+        ).astype(np.int64)
+    return offs, memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+
+
+def md5_digests(texts) -> bytes:
+    """Concatenated raw 16-byte md5 digests of a text sequence (list
+    with None → "" or an Arrow string array, hashed straight from its
+    buffer). The per-row md5 is irreducible; everything around it is
+    one pass."""
+    md5 = hashlib.md5
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        offs, data = _utf8_slices(texts)
+        return b"".join(
+            md5(data[s:e]).digest()
+            for s, e in zip(offs[:-1].tolist(), offs[1:].tolist())
+        )
+    return b"".join(md5((t or "").encode()).digest() for t in texts)
+
+
+def md5_hex_array(texts) -> pa.Array:
+    """Vectorized md5-hex of a text sequence (list[str|None], None →
+    "", or an Arrow string array hashed zero-copy from its buffer) —
+    THE exact-dedup content-hash rule, shared with curate. One md5 per
+    row is irreducible; the hex column is built in bulk (digests
+    joined into one buffer, one hexlify pass, zero-copy StringArray)
+    instead of a per-row hexdigest+str. Batches must stay under int32
+    string offsets (~67M rows — far above any map_batches block)."""
     import binascii
 
-    if not texts:
+    n = len(texts)
+    if not n:
         return pa.array([], pa.string())
-    assert len(texts) < 16_000_000, "chunk the batch before hashing"
-    md5 = hashlib.md5
-    buf = b"".join(md5((t or "").encode()).digest() for t in texts)
-    offs = np.arange(0, 32 * (len(texts) + 1), 32, dtype=np.int32)
+    assert n < 16_000_000, "chunk the batch before hashing"
+    buf = md5_digests(texts)
+    offs = np.arange(0, 32 * (n + 1), 32, dtype=np.int32)
     return pa.StringArray.from_buffers(
-        len(texts),
+        n,
         pa.py_buffer(offs.tobytes()),
         pa.py_buffer(binascii.hexlify(buf)),
     )
@@ -371,7 +410,7 @@ def exact_dedup(sf_dir: str):
 
     def add_hash(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
-            [batch["doc_id"], md5_hex_array(batch["text"].to_pylist())],
+            [batch["doc_id"], md5_hex_array(batch["text"])],
             names=["doc_id", "text_hash"],
         )
 
@@ -1531,7 +1570,7 @@ def incremental_dedup(sf_dir: str, held_hex: str = "1999"):
         seen = md5_prefix4_le(ids, held_hex)
         key = np.where(seen, ids, ids + _INCR_NEW_BIT)
         return pa.Table.from_arrays(
-            [md5_hex_array(batch["text"].to_pylist()), pa.array(key, pa.int64())],
+            [md5_hex_array(batch["text"]), pa.array(key, pa.int64())],
             names=["text_hash", "key"],
         )
 

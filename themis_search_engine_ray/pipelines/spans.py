@@ -40,8 +40,6 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -54,16 +52,29 @@ _BROADCAST_CAP = 2_000_000
 _ROWS_PER_BUCKET = 1_000_000
 
 
-def _md5_digests(texts: list) -> np.ndarray:
-    """Raw 16-byte md5 digests of a text sequence as a numpy ``S16``
-    array (memcmp-comparable, searchsorted/unique-ready). Same
-    join-one-buffer trick as :func:`..pipelines.dedup.md5_hex_array`
-    — the per-row md5 is irreducible, everything else is one pass."""
-    if not texts:
+def _md5_digests(texts) -> np.ndarray:
+    """Raw 16-byte md5 digests of a text sequence (list or Arrow
+    string array, hashed straight from the Arrow buffer) as a numpy
+    ``S16`` array (memcmp-comparable, searchsorted/unique-ready)."""
+    from .dedup import md5_digests
+
+    if not len(texts):
         return np.empty(0, "S16")
-    md5 = hashlib.md5
-    buf = b"".join(md5((t or "").encode()).digest() for t in texts)
-    return np.frombuffer(buf, dtype="S16")
+    return np.frombuffer(md5_digests(texts), dtype="S16")
+
+
+def _gram_digests_dedup(grams: pa.Array) -> np.ndarray:
+    """Per-gram S16 digests, hashing each DISTINCT gram once:
+    duplicated grams are exactly the common ones, so dictionary-
+    encoding before the irreducible md5 loop skips the repeats."""
+    if not len(grams):
+        return np.empty(0, "S16")
+    enc = grams.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniq = _md5_digests(enc.dictionary)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return uniq[idx]
 
 
 def _doc_tokens_batch(batch: pa.Table):
@@ -176,9 +187,11 @@ def _dup_gram_ds(ds, k: int):
             return pa.Table.from_pydict(
                 {"gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
             )
-        vc = pc.value_counts(md5_hex_array(grams.to_pylist()))
+        # count FIRST, hash each distinct gram once (dup grams are
+        # exactly the common ones), straight from the Arrow buffer
+        vc = pc.value_counts(grams)
         return pa.Table.from_arrays(
-            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
+            [md5_hex_array(vc.field("values")), pc.cast(vc.field("counts"), pa.int64())],
             names=["gram", "cnt"],
         )
 
@@ -204,7 +217,7 @@ def _span_dedup_broadcast(ds, dup_hexes: list, k: int):
     def mask(batch: pa.Table) -> pa.Table:
         dig = ray.get(ref)
         tok_strings, off, nt, g_doc, g_pos, grams = _doc_grams_batch(batch, k)
-        q = _md5_digests(grams.to_pylist())
+        q = _gram_digests_dedup(grams)
         if dig.size and q.size:
             i = np.searchsorted(dig, q)
             hit = (i < dig.size) & (dig[np.minimum(i, dig.size - 1)] == q)
@@ -231,9 +244,13 @@ def _span_dedup_join(ds, k: int, n_docs: int):
     def occurrences(batch: pa.Table) -> pa.Table:
         *_, g_doc, g_pos, grams = _doc_grams_batch(batch, k)
         ids = batch["doc_id"].to_numpy().astype(np.int64)
+        enc = grams.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        hexes = md5_hex_array(enc.dictionary).take(enc.indices)
         return pa.Table.from_arrays(
             [
-                md5_hex_array(grams.to_pylist()),
+                hexes,
                 pa.array(ids[g_doc], pa.int64()),
                 pa.array(g_pos, pa.int64()),
             ],
