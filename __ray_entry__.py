@@ -294,6 +294,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # assembly — no per-conversation Python; value-exact vs an
         # ordered string_agg oracle)
         "conversation_assemble": conversations.conversation_assemble,
+        # exact dedup at conversation granularity (assemble → md5 →
+        # keep-min; value-exact vs the same ordered string_agg oracle)
+        "conversation_dedup": conversations.conversation_dedup,
         # incremental exact dedup of a new shard against the already-
         # ingested corpus — seen/new split by the shared held-out rule,
         # keep decision encoded in one Min-aggregate key (value-exact)
@@ -1003,6 +1006,14 @@ def oracle_sql() -> dict[str, str]:
         "string_agg(role || ': ' || coalesce(text, ''), chr(10) "
         "ORDER BY turn_idx) AS convo "
         "FROM turns GROUP BY conv_id"
+    )
+    # conversation-granularity exact dedup over the assembled rendering
+    out["conversation_dedup"] = (
+        f"WITH {_TURNS_CTE}, "
+        "asm AS (SELECT conv_id, string_agg(role || ': ' || coalesce(text, ''), "
+        "chr(10) ORDER BY turn_idx) AS convo FROM turns GROUP BY conv_id) "
+        "SELECT min(conv_id) AS conv_id, md5(convo) AS conv_hash "
+        "FROM asm GROUP BY convo"
     )
     # incremental dedup: seen/new by the shared md5-prefix held-out
     # rule; bit 62 in the Min key encodes "new" (engine key rule

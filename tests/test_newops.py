@@ -199,3 +199,30 @@ def test_topn_in_order_partial_equals_direct():
     got = {(int(i), int(r)) for i, r in zip(cand[k2], rank2)}
     exp = {(int(i), int(r)) for i, r in zip(keep_all, rank_all)}
     assert got == exp
+
+
+def test_conversation_dedup_keeps_min_conv(ray_session, tmp_path):
+    from themis_search_engine_ray.sources.transcripts import TURNS_PER_CONV
+
+    n = TURNS_PER_CONV
+    # conv 0 and conv 2 identical turn-for-turn; conv 1 differs
+    texts = (
+        [f"common turn {i}" for i in range(n)]
+        + [f"other turn {i}" for i in range(n)]
+        + [f"common turn {i}" for i in range(n)]
+    )
+    sf = _write_docs(tmp_path, texts)
+    got = (
+        conversations.conversation_dedup(sf)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["conv_id"]) == ["conv-00000000", "conv-00000001"]
+    # hash is of the full rendered transcript (role-and-order aware)
+    asm = conversations.conversation_assemble(sf).to_pandas()
+    convo0 = asm.set_index("conv_id")["convo"]["conv-00000000"]
+    assert (
+        got.set_index("conv_id")["conv_hash"]["conv-00000000"]
+        == hashlib.md5(convo0.encode()).hexdigest()
+    )

@@ -88,6 +88,36 @@ def _assemble_bucket(group: pa.Table) -> pa.Table:
     )
 
 
+def conversation_dedup(sf_dir: str, n_buckets: int | None = None):
+    """Exact dedup at CONVERSATION granularity: one ``(conv_id,
+    conv_hash)`` row per distinct assembled transcript, keeping the
+    minimal conv_id (the turn-level twin is ``dedup.exact_dedup``).
+    Rides :func:`conversation_assemble`'s bucketed stitch plus one
+    Min aggregate over ``md5(convo)`` — the rendered transcript hashes
+    role AND order, so two conversations match only if every turn
+    matches in sequence."""
+    from ray.data.aggregate import Min
+
+    from .dedup import md5_hex_array
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        conv = batch["convo"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        return pa.Table.from_arrays(
+            [batch["conv_id"], md5_hex_array(conv)],
+            names=["conv_id", "conv_hash"],
+        )
+
+    return (
+        conversation_assemble(sf_dir, n_buckets)
+        .map_batches(hash_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_hash")
+        .aggregate(Min("conv_id", alias_name="conv_id"))
+        .select_columns(["conv_id", "conv_hash"])
+    )
+
+
 def conversation_assemble(sf_dir: str, n_buckets: int | None = None):
     """(conv_id, n_turns, n_chars, convo): every conversation of the
     derived transcript corpus stitched back together in turn order.
@@ -104,9 +134,14 @@ def conversation_assemble(sf_dir: str, n_buckets: int | None = None):
         n_buckets = max(16, n_rows // _ROWS_PER_BUCKET)
 
     def tag(batch: pa.Table) -> pa.Table:
-        conv = batch["conv_id"]
+        # NULL conv_id groups under "" (the same fill/coalesce key rule
+        # as mixing); the derived corpus never produces one
+        conv = pc.fill_null(batch["conv_id"], "")
         if isinstance(conv, pa.ChunkedArray):
             conv = conv.combine_chunks()
+        batch = batch.set_column(
+            batch.schema.get_field_index("conv_id"), "conv_id", conv
+        )
         return batch.append_column(
             "bucket", pa.array(_conv_bucket(conv.to_pylist(), n_buckets), pa.int64())
         )
