@@ -305,6 +305,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-batch partial top-k combiner → bounded groupby(source)
         # (value-exact vs a row_number() window oracle)
         "top_per_source": sampling.top_per_source,
+        # corpus profiling report: per-source doc/char/token totals via
+        # a per-batch combiner (≤ #sources rows leave each batch) plus
+        # one exact-int mean division (value-exact)
+        "source_profile": ta.source_profile,
     }
 
 
@@ -1025,6 +1029,17 @@ def oracle_sql() -> dict[str, str]:
         "agg AS (SELECT text_hash, min(k) AS k FROM tagged GROUP BY text_hash) "
         "SELECT k - 4611686018427387904 AS doc_id, text_hash FROM agg "
         "WHERE k >= 4611686018427387904"
+    )
+    # corpus profile: integer sums + one exact division, round half-up
+    out["source_profile"] = (
+        "WITH t AS (SELECT coalesce(source, '') AS source, "
+        "CAST(length(coalesce(text, '')) AS BIGINT) AS chars, "
+        "CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+')) AS BIGINT) "
+        "AS toks FROM documents) "
+        "SELECT source, count(*) AS n_docs, sum(chars) AS total_chars, "
+        "sum(toks) AS total_tokens, "
+        "round(sum(toks) * 1.0 / greatest(count(*), 1), 6) AS mean_tokens "
+        "FROM t GROUP BY source"
     )
     # group-wise top-k: row_number window, ties broken by doc_id
     out["top_per_source"] = (

@@ -226,3 +226,23 @@ def test_conversation_dedup_keeps_min_conv(ray_session, tmp_path):
         got.set_index("conv_id")["conv_hash"]["conv-00000000"]
         == hashlib.md5(convo0.encode()).hexdigest()
     )
+
+
+def test_source_profile_exact_sums(ray_session, tmp_path):
+    from themis_search_engine_ray.pipelines import text_analysis as ta
+
+    texts = ["one two three", "", None, "four 5 six-seven", "a b"]
+    sources = ["s1", "s1", None, "s2", "s2"]
+    sf = _write_docs(tmp_path, texts, sources)
+    got = (
+        ta.source_profile(sf)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert list(got["source"]) == ["", "s1", "s2"]
+    assert list(got["n_docs"]) == [1, 2, 2]
+    # alnum token counts: s1 = 3 + 0, s2 = 4 ("four","5","six","seven") + 2
+    assert list(got["total_tokens"]) == [0, 3, 6]
+    assert list(got["total_chars"]) == [0, 13, 16 + 3]
+    assert got.set_index("source")["mean_tokens"]["s2"] == 3.0

@@ -569,3 +569,71 @@ def chunk_documents(
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_profile(sf_dir: str):
+    """Corpus profiling report, one row per source: ``(source, n_docs,
+    total_chars, total_tokens, mean_tokens)`` — the one-pass summary a
+    curation run starts from.
+
+    Scale design: per-batch partial sums per source (one
+    dictionary-encode + three ``np.add.at`` scatters) reduce every
+    batch to ≤ #sources tiny rows, so the ``groupby(source)`` exchange
+    moves O(sources × blocks) rows regardless of corpus size; the
+    integer sums make the aggregate accumulation-order-exact, and the
+    final mean is ONE float division of two exact ints (deterministic
+    on any engine), rounded half-up to 6 decimals like the quality
+    ratios. NULL sources report under ""."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_up
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = pc.fill_null(batch["source"], "")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        t = pc.fill_null(batch["text"], "")
+        chars = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = (
+            pc.count_substring_regex(t, _ALNUM_RE.pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_docs = np.bincount(idx, minlength=k).astype(np.int64)
+        sum_chars = np.zeros(k, np.int64)
+        np.add.at(sum_chars, idx, chars)
+        sum_toks = np.zeros(k, np.int64)
+        np.add.at(sum_toks, idx, toks)
+        return pa.Table.from_arrays(
+            [
+                enc.dictionary,
+                pa.array(n_docs),
+                pa.array(sum_chars),
+                pa.array(sum_toks),
+            ],
+            names=["source", "n_docs", "total_chars", "total_tokens"],
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch["n_docs"].to_numpy().astype(np.int64)
+        tt = batch["total_tokens"].to_numpy().astype(np.int64)
+        mean = round_half_up(tt / np.maximum(nd, 1), 6)
+        return batch.append_column("mean_tokens", pa.array(mean, pa.float64()))
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "source"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+            Sum("total_tokens", alias_name="total_tokens"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
