@@ -260,3 +260,66 @@ def test_shuffle_export_wide_shard_space(tmp_path):
 
     with pytest.raises(ValueError, match="num_shards"):
         shuffle_export(SF, str(tmp_path / "x"), seed=0, num_shards=65537)
+
+
+def test_export_jsonl_roundtrip_and_resume(ray_session, tmp_path):
+    """JSONL conversion preserves shard order/content, is resumable by
+    file, and gzip output is byte-identical across reruns."""
+    import gzip
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from themis_search_engine_ray.pipelines.shuffle import (
+        export_jsonl,
+        shuffle_export,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(64), pa.int64()),
+            "text": pa.array([f"doc {i} körpus" for i in range(64)], pa.string()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, str(sf / "documents.parquet"))
+    shard_dir = str(tmp_path / "shards")
+    shuffle_export(str(sf), shard_dir, seed=1, num_shards=4)
+
+    out = str(tmp_path / "jsonl")
+    st1 = export_jsonl(shard_dir, out)
+    assert st1["files_written"] == 4 and st1["rows"] == 64
+    # shard order preserved: concatenated jsonl == concatenated parquet
+    got = []
+    for f in sorted(os.listdir(out)):
+        with open(os.path.join(out, f)) as fh:
+            got.extend(json.loads(line) for line in fh)
+    exp = []
+    for f in sorted(os.listdir(shard_dir)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(shard_dir, f)).drop_columns(
+                ["shuffle_key"]
+            )
+            exp.extend(t.to_pylist())
+    assert got == exp
+    # resume: second run rewrites nothing
+    st2 = export_jsonl(shard_dir, out)
+    assert st2["files_written"] == 0 and st2["files_skipped"] == 4
+
+    # gzip determinism: two fresh runs, identical bytes
+    g1, g2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    export_jsonl(shard_dir, g1, compression="gzip")
+    export_jsonl(shard_dir, g2, compression="gzip")
+    for f in sorted(os.listdir(g1)):
+        assert f.endswith(".jsonl.gz")
+        assert (
+            open(os.path.join(g1, f), "rb").read()
+            == open(os.path.join(g2, f), "rb").read()
+        )
+    with gzip.open(os.path.join(g1, sorted(os.listdir(g1))[0]), "rt") as fh:
+        first = json.loads(fh.readline())
+    assert set(first) == {"doc_id", "text"}

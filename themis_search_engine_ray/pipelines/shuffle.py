@@ -446,3 +446,87 @@ def pack_offsets(sf_dir: str, seed: int = 0, num_shards: int = 16, seq_len: int 
         )
 
     return assigned.groupby("shard").map_groups(emit, batch_format="pyarrow")
+
+
+def export_jsonl(
+    shard_dir: str,
+    out_dir: str,
+    columns: "list[str] | None" = None,
+    compression: "str | None" = None,
+) -> dict:
+    """Convert a :func:`shuffle_export` output directory to JSONL —
+    the trainer hand-off format symmetric with ``sources/ingest``'s
+    JSONL reader. One output file per input shard, SAME name stem and
+    row order (so reading shard 0..N-1 in order still yields the
+    global shuffle), written atomically and resumable by file:
+    re-running converts only the missing shards.
+
+    ``compression``: None or ``"gzip"`` (→ ``.jsonl.gz``; gzip mtime
+    pinned to 0 so reruns are byte-identical). The ``shuffle_key``
+    bookkeeping column is dropped unless explicitly listed in
+    ``columns``. Row serialization is pandas' C ``to_json`` (no
+    per-row Python). Returns {files_written, files_skipped, rows}.
+    """
+    import gzip
+
+    import ray.data as rd
+
+    if compression not in (None, "gzip"):
+        raise ValueError(f"unsupported compression: {compression!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    shards = sorted(
+        f for f in os.listdir(shard_dir) if f.endswith(".parquet")
+    )
+    if not shards:
+        raise ValueError(f"no parquet shards under {shard_dir!r}")
+    ext = ".jsonl.gz" if compression else ".jsonl"
+
+    def convert(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out_rows = []
+        for name in batch["file"].to_pylist():
+            stem = name[: -len(".parquet")]
+            path = os.path.join(out_dir, stem + ext)
+            if os.path.isfile(path):
+                out_rows.append((name, -1))
+                continue
+            tab = pq.read_table(os.path.join(shard_dir, name), columns=columns)
+            if columns is None and "shuffle_key" in tab.column_names:
+                tab = tab.drop_columns(["shuffle_key"])
+            body = tab.to_pandas().to_json(
+                orient="records", lines=True, force_ascii=False
+            )
+            # exactly one newline per record (pandas' trailing-newline
+            # behavior varies by version)
+            body = body.rstrip("\n")
+            data = (body + "\n").encode() if body else b""
+            tmp = path + ".tmp"
+            if compression:
+                with open(tmp, "wb") as f:
+                    with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+                        gz.write(data)
+            else:
+                with open(tmp, "wb") as f:
+                    f.write(data)
+            os.replace(tmp, path)
+            out_rows.append((name, tab.num_rows))
+        return pa.Table.from_pydict(
+            {
+                "file": pa.array([r[0] for r in out_rows], pa.string()),
+                "rows": pa.array([r[1] for r in out_rows], pa.int64()),
+            }
+        )
+
+    stats = (
+        rd.from_items([{"file": f} for f in shards])
+        .repartition(len(shards))
+        .map_batches(convert, batch_format="pyarrow")
+        .to_pandas()
+    )
+    skipped = int((stats["rows"] < 0).sum())
+    return {
+        "files_written": len(stats) - skipped,
+        "files_skipped": skipped,
+        "rows": int(stats.loc[stats["rows"] >= 0, "rows"].sum()),
+    }

@@ -54,6 +54,13 @@ def main() -> None:
     ap.add_argument("--shuffle-seed", type=int, default=0)
     ap.add_argument("--num-shards", type=int, default=16)
     ap.add_argument("--only", default=None, help="export just this split")
+    ap.add_argument(
+        "--jsonl",
+        choices=["plain", "gzip"],
+        default=None,
+        help="additionally convert each split's shards to JSONL "
+        "(<out>/<split>-jsonl/, same shard order; gzip → .jsonl.gz)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -82,6 +89,14 @@ def main() -> None:
             split=(name, fractions, args.split_seed),
         )
         stats["sec"] = round(time.time() - t0, 3)
+        if args.jsonl:
+            from themis_search_engine_ray.pipelines.shuffle import export_jsonl
+
+            stats["jsonl"] = export_jsonl(
+                os.path.join(args.out, name),
+                os.path.join(args.out, f"{name}-jsonl"),
+                compression="gzip" if args.jsonl == "gzip" else None,
+            )
         report["splits"][name] = stats
     print(json.dumps(report))
 
