@@ -309,6 +309,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a per-batch combiner (≤ #sources rows leave each batch) plus
         # one exact-int mean division (value-exact)
         "source_profile": ta.source_profile,
+        # conversion funnel (first view → first later click → first
+        # later purchase per user): one coarse-sharded shuffle, k
+        # vectorized passes per shard (value-exact, integer µs)
+        "event_funnel": windows.event_funnel,
     }
 
 
@@ -1050,6 +1054,21 @@ def oracle_sql() -> dict[str, str]:
         "PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rank "
         "FROM t) "
         "SELECT source, doc_id, n_tokens, rank FROM r WHERE rank <= 10"
+    )
+    # conversion funnel: chained first-after-previous minima; strictly-
+    # after (>) semantics at every level, pure integer µs timestamps
+    out["event_funnel"] = (
+        "WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS ts_us FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS ts_us FROM events e "
+        "JOIN s1 ON s1.user_id = e.user_id "
+        "WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.ts_us GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS ts_us FROM events e "
+        "JOIN s2 ON s2.user_id = e.user_id "
+        "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.ts_us GROUP BY e.user_id) "
+        "SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, user_id, ts_us FROM s1 "
+        "UNION ALL SELECT 2, 'click', user_id, ts_us FROM s2 "
+        "UNION ALL SELECT 3, 'purchase', user_id, ts_us FROM s3"
     )
     # md5-derived stub lexicon replicated digit-for-digit
     out["wordnet_synonyms"] = _wordnet_synonyms_sql()

@@ -171,3 +171,89 @@ def test_sessionize_salted_hot_user_crossing_days(ray_session, tmp_path):
     # the hot user really is ONE session spanning 12 day-buckets
     assert (salted["user_id"] == 1).sum() == 1
     assert (salted["user_id"] == 2).sum() == 4
+
+
+def test_event_funnel_strictly_after(ray_session, tmp_path):
+    from themis_search_engine_ray.pipelines.windows import event_funnel
+
+    rows = [
+        # user 1 completes the funnel (view@10 -> click@20 -> purchase@30);
+        # the earlier click@5 and purchase@15 must NOT count
+        (0, 5, 1, "click"),
+        (1, 10, 1, "view"),
+        (2, 15, 1, "purchase"),
+        (3, 20, 1, "click"),
+        (4, 30, 1, "purchase"),
+        # user 2: click at EXACTLY the first-view timestamp -> strictly-
+        # after excludes it; the later click advances, no purchase
+        (5, 100, 2, "view"),
+        (6, 100, 2, "click"),
+        (7, 200, 2, "click"),
+        # user 3: never views -> reaches no step (click/purchase ignored)
+        (8, 50, 3, "click"),
+        (9, 60, 3, "purchase"),
+        # user 4: unrelated event types only
+        (10, 70, 4, "error"),
+    ]
+    tab = pa.Table.from_pydict(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * US for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    out = event_funnel(str(tmp_path)).to_pandas()
+    got = {
+        (int(r.user_id), int(r.step)): (r.event_type, int(r.ts_us) // US)
+        for r in out.itertuples()
+    }
+    assert got == {
+        (1, 1): ("view", 10),
+        (1, 2): ("click", 20),
+        (1, 3): ("purchase", 30),
+        (2, 1): ("view", 100),
+        (2, 2): ("click", 200),
+    }
+
+
+def test_event_funnel_shard_invariance(ray_session, tmp_path):
+    """The funnel result is independent of the coarse shard count."""
+    from themis_search_engine_ray.pipelines.windows import event_funnel
+
+    rng = np.random.RandomState(7)
+    n = 400
+    tab = pa.Table.from_pydict(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                rng.randint(0, 10_000, n).astype(np.int64) * US,
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(rng.randint(0, 37, n), pa.int64()),
+            "event_type": pa.array(
+                rng.choice(["view", "click", "purchase", "error"], n)
+            ),
+            "value": pa.array(np.zeros(n), pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    key = ["step", "user_id"]
+    a = (
+        event_funnel(str(tmp_path), num_shards=1)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        event_funnel(str(tmp_path), num_shards=64)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 0

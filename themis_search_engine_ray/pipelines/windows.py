@@ -308,3 +308,115 @@ def sessionize(
         .groupby("user_id")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def event_funnel(
+    sf_dir: str,
+    steps: "tuple[str, ...]" = ("view", "click", "purchase"),
+    num_shards: int = 64,
+):
+    """Sequential funnel over the events stream: for each user, the
+    first ``steps[0]`` event, then the first ``steps[1]`` STRICTLY
+    after it, then the first ``steps[2]`` strictly after that, etc.
+    One output row per (user, step reached): ``(step, event_type,
+    user_id, ts_us)`` — the classic product-analytics conversion
+    funnel (step counts are a trivial roll-up of this table).
+
+    Shape: ONE shuffle. Events are pre-filtered to the step types at
+    the read (predicate pushed into the scan task), coarse-sharded by
+    ``splitmix64(user_id) % num_shards`` — NOT per-user groups, so the
+    group count is bounded and each ``map_groups`` call is one Python
+    invocation over a whole shard (the dedup/_emit_pairs_sharded
+    lesson) — then each shard is lexsorted by (user, ts) once and the
+    k funnel levels run as k vectorized passes over the sorted arrays
+    (np.unique first-occurrence = per-user min since ts is the minor
+    sort key; membership + previous-step timestamps via searchsorted
+    against the previous level's sorted user array). Per-event work is
+    O(k·log U_shard) with zero Python per row; shards stream
+    independently, so at 100 TB this is one bounded exchange of the
+    pre-filtered step events (raise ``num_shards`` with input size).
+
+    Strictly-after semantics: an event at EXACTLY the previous step's
+    timestamp does not advance the funnel (ties across levels are
+    resolved by ``>``; within a level the per-user minimum ts needs no
+    tie-break since equal minima are the same value).
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .similarity import _splitmix64
+
+    step_arr = pa.array(list(steps), pa.string())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        code = pc.index_in(batch["event_type"], value_set=step_arr)
+        keep = pc.is_valid(code)
+        sub = batch.filter(keep)
+        code = code.filter(keep)
+        uid = sub["user_id"].to_numpy().astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "shard": (
+                    _splitmix64(uid.astype(np.uint64)) % num_shards
+                ).astype(np.int64),
+                "user_id": uid,
+                "ts": sub["ts"].cast(pa.int64()),
+                "code": code.cast(pa.int8()),
+            }
+        )
+
+    def funnel_shard(group: pa.Table) -> pa.Table:
+        user = group["user_id"].to_numpy()
+        ts = group["ts"].to_numpy()
+        code = group["code"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, user))
+        user, ts, code = user[order], ts[order], code[order]
+        out_u: list[np.ndarray] = []
+        out_t: list[np.ndarray] = []
+        out_step: list[np.ndarray] = []
+        prev_u = prev_t = None
+        for i in range(len(steps)):
+            m = code == i
+            if prev_u is not None:
+                if prev_u.size == 0:
+                    break
+                pos = np.searchsorted(prev_u, user)
+                pos_c = np.minimum(pos, prev_u.size - 1)
+                member = prev_u[pos_c] == user
+                after = np.zeros(user.size, bool)
+                after[member] = ts[member] > prev_t[pos_c[member]]
+                m &= after
+            u_i, t_i = user[m], ts[m]
+            # filtered subset keeps (user asc, ts asc) order, so the
+            # first occurrence per user IS that user's minimum ts
+            uu, first = np.unique(u_i, return_index=True)
+            tt = t_i[first]
+            out_u.append(uu)
+            out_t.append(tt)
+            out_step.append(np.full(uu.size, i, np.int8))
+            prev_u, prev_t = uu, tt
+        if not out_u:
+            su = np.empty(0, np.int64)
+            st = np.empty(0, np.int64)
+            sc = np.empty(0, np.int8)
+        else:
+            su = np.concatenate(out_u)
+            st = np.concatenate(out_t)
+            sc = np.concatenate(out_step)
+        return pa.Table.from_pydict(
+            {
+                "step": (sc.astype(np.int64) + 1),
+                "event_type": pa.array(
+                    np.asarray(steps, object)[sc], pa.string()
+                ),
+                "user_id": su,
+                "ts_us": st,
+            }
+        )
+
+    return (
+        _events(sf_dir, ["user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(funnel_shard, batch_format="pyarrow")
+    )
