@@ -313,6 +313,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # later purchase per user): one coarse-sharded shuffle, k
         # vectorized passes per shard (value-exact, integer µs)
         "event_funnel": windows.event_funnel,
+        # bigram collocations by PMI: one counting pass (unigrams ride
+        # the same emit with w2=''), one groupby, broadcast unigram
+        # slice, vectorized scoring (value-exact)
+        "collocations_pmi": ta.collocations_pmi,
+        # per-doc top-5 keywords by tf·ln(N/df): one df shuffle +
+        # broadcast idf, per-batch lexsort top-k (value-exact)
+        "tfidf_keywords": ta.tfidf_keywords,
     }
 
 
@@ -1069,6 +1076,43 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, user_id, ts_us FROM s1 "
         "UNION ALL SELECT 2, 'click', user_id, ts_us FROM s2 "
         "UNION ALL SELECT 3, 'purchase', user_id, ts_us FROM s3"
+    )
+    # bigram PMI: lead() window over position-zipped unnest; the PMI
+    # expression mirrors the engine's IEEE op order exactly
+    out["collocations_pmi"] = (
+        "WITH toks AS (SELECT doc_id, list_filter(string_split_regex("
+        "lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '') AS ts "
+        "FROM documents), "
+        "flat AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(len(ts))) AS pos FROM toks), "
+        "big AS (SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM flat), "
+        "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count FROM big "
+        "WHERE w2 IS NOT NULL GROUP BY w1, w2), "
+        "uni AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM flat GROUP BY tok), "
+        "nu AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM flat), "
+        "nb AS (SELECT CAST(sum(pair_count) AS DOUBLE) AS n FROM bc) "
+        "SELECT bc.w1, bc.w2, bc.pair_count, "
+        "round(ln((bc.pair_count / nb.n) / ((u1.c / nu.n) * (u2.c / nu.n))), 6) AS pmi "
+        "FROM bc JOIN uni u1 ON u1.tok = bc.w1 JOIN uni u2 ON u2.tok = bc.w2, nu, nb "
+        "WHERE bc.pair_count >= 5"
+    )
+    # per-doc tf·idf top-k: row_number() over the UNROUNDED score with
+    # the same term-ascending tie-break as the engine's lexsort
+    out["tfidf_keywords"] = (
+        "WITH toks AS (SELECT doc_id, list_filter(string_split_regex("
+        "lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '') AS ts "
+        "FROM documents), "
+        "flat AS (SELECT doc_id, unnest(ts) AS tok FROM toks), "
+        "tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM flat GROUP BY doc_id, tok), "
+        "df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df "
+        "FROM tf GROUP BY term), "
+        "nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), "
+        "scored AS (SELECT tf.doc_id, tf.term, tf.tf, "
+        "CAST(tf.tf AS DOUBLE) * ln(nd.n / df.df) AS s "
+        "FROM tf JOIN df ON df.term = tf.term, nd), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY s DESC, term ASC) AS rn FROM scored) "
+        "SELECT doc_id, term, tf, round(s, 6) AS tfidf FROM ranked WHERE rn <= 5"
     )
     # md5-derived stub lexicon replicated digit-for-digit
     out["wordnet_synonyms"] = _wordnet_synonyms_sql()

@@ -637,3 +637,230 @@ def source_profile(sf_dir: str):
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def collocations_pmi(sf_dir: str, min_count: int = 5):
+    """Bigram collocation mining by pointwise mutual information:
+    ``pmi(a,b) = ln( (c_ab/N_b) / ((c_a/N_u)(c_b/N_u)) )`` over adjacent
+    token pairs within a document, for pairs seen ≥ ``min_count`` times.
+    Output: (w1, w2, pair_count, pmi).
+
+    Shape: one counting pass — each batch emits its LOCAL distinct
+    (w1, w2, count) rows (unigrams ride along as ``w2 = ''``, which the
+    tokenizer can never produce) — then ONE ``groupby((w1, w2)).sum``;
+    the reduced count table is materialized (it is vocabulary²-bounded
+    and min_count-prunable, not corpus-sized) and scored vectorized
+    with the unigram slice broadcast once via ``ray.put`` — the same
+    broadcast contract as :func:`unigram_logprob`, with the same
+    documented 100-TB fallback (Misra-Gries top-M unigrams + count
+    floor; bigrams below ``min_count`` never leave the reduce anyway).
+
+    Tokenization is the M1 convention (:func:`token_codes_batch`
+    default), matching the SQL twin. Edge empty-string artifacts sit at
+    document boundaries only, so masking them never fabricates a false
+    adjacency.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        from ..stages.tokenize import token_codes_batch
+
+        uniq, codes, lens, n = token_codes_batch(batch["text"])
+        v = max(1, len(uniq))
+        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
+        keep = real[codes] if len(uniq) else np.zeros(0, bool)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)[keep]
+        codes = codes[keep]
+        ucodes, ucounts = np.unique(codes, return_counts=True)
+        adj = doc_of[1:] == doc_of[:-1]
+        pair_key = codes[:-1][adj] * v + codes[1:][adj]
+        pkeys, pcounts = np.unique(pair_key, return_counts=True)
+        w1 = [uniq[c] for c in ucodes] + [uniq[k // v] for k in pkeys]
+        w2 = [""] * len(ucodes) + [uniq[k % v] for k in pkeys]
+        return pa.Table.from_pydict(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "count": np.concatenate([ucounts, pcounts]).astype(np.int64),
+            }
+        )
+
+    counts = (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("count", alias_name="count"))
+        .materialize()  # vocab²-bounded reduced table, NOT the corpus
+    )
+
+    uni = counts.map_batches(
+        lambda b: b.filter(pc.equal(b["w2"], "")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    n_u = float(uni["count"].sum())
+    n_b = float(
+        counts.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "s": [
+                        int(
+                            pc.sum(
+                                b.filter(pc.not_equal(b["w2"], ""))["count"]
+                            ).as_py()
+                            or 0
+                        )
+                    ]
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum(on="s")
+    )
+    uni_terms = pa.array(uni["w1"].to_numpy(), pa.string())
+    uni_counts = uni["count"].to_numpy().astype(np.float64)
+    ref = ray.put((uni_terms, uni_counts, n_u, n_b))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms, uc, nu, nb = ray.get(ref)
+        m = pc.and_(
+            pc.not_equal(batch["w2"], ""),
+            pc.greater_equal(batch["count"], min_count),
+        )
+        sub = batch.filter(m)
+        cab = sub["count"].to_numpy().astype(np.float64)
+        ca = uc[
+            pc.index_in(sub["w1"], value_set=terms)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        ]
+        cb = uc[
+            pc.index_in(sub["w2"], value_set=terms)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        ]
+        # identical IEEE op order as the SQL twin:
+        # ln((cab/nb) / ((ca/nu) * (cb/nu)))
+        pmi = round_half_up(
+            np.log((cab / nb) / ((ca / nu) * (cb / nu))), 6
+        )
+        return pa.Table.from_arrays(
+            [
+                sub["w1"],
+                sub["w2"],
+                sub["count"],
+                pa.array(pmi, pa.float64()),
+            ],
+            names=["w1", "w2", "pair_count", "pmi"],
+        )
+
+    return counts.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def tfidf_keywords(sf_dir: str, k: int = 5):
+    """Per-document keyword extraction: the top-``k`` terms of each doc
+    by ``tfidf = tf · ln(N/df)``, ties broken by term ascending.
+    Output: (doc_id, term, tf, tfidf).
+
+    Two passes, one shuffle: (1) per-batch distinct (doc, term) counts
+    collapse to (term, df_partial) rows — never raw tokens — then one
+    ``groupby(term).sum``; the df table is broadcast once (``ray.put``;
+    vocabulary-sized — the :func:`unigram_logprob` broadcast contract,
+    same documented sketch fallback at 100 TB). (2) each batch computes
+    its docs' tf vectors (documents never straddle batches), scores
+    them against the broadcast idf and takes the per-doc top-k with a
+    single lexsort over (doc, −tfidf, term-rank) — no per-row Python,
+    no second shuffle. ``N`` is the parquet-metadata row count.
+
+    The ranking uses the UNROUNDED tfidf exactly as the SQL twin's
+    ``row_number()`` does; equal (tf, df) pairs produce bit-identical
+    scores on both sides, so the term tie-break is deterministic.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = float(ds.count())
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        from ..stages.tokenize import token_codes_batch
+
+        uniq, codes, lens, n = token_codes_batch(batch["text"])
+        v = max(1, len(uniq))
+        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
+        keep = real[codes] if len(uniq) else np.zeros(0, bool)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)[keep]
+        pairs = np.unique(doc_of * v + codes[keep])
+        pcodes, pdf = np.unique(pairs % v, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array([uniq[c] for c in pcodes], pa.string()),
+                "df": pdf.astype(np.int64),
+            }
+        )
+
+    df_tab = (
+        ds.map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    terms_arr = pa.array(df_tab["term"].to_numpy(), pa.string())
+    idf = np.log(n_docs / df_tab["df"].to_numpy().astype(np.float64))
+    ref = ray.put((terms_arr, idf))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        from ..stages.tokenize import token_codes_batch
+
+        terms, idf_v = ray.get(ref)
+        uniq, codes, lens, n = token_codes_batch(batch["text"])
+        v = max(1, len(uniq))
+        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
+        keep = real[codes] if len(uniq) else np.zeros(0, bool)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)[keep]
+        pkeys, tf = np.unique(doc_of * v + codes[keep], return_counts=True)
+        row_doc, row_code = pkeys // v, pkeys % v
+        uniq_arr = pa.array(uniq, pa.string())
+        # '' (doc-boundary artifact) is in the batch vocab but never in
+        # the df table; its rows were dropped by `keep`, so any slot
+        # index works — fill the null lookup with 0
+        code_idf = idf_v[
+            pc.fill_null(pc.index_in(uniq_arr, value_set=terms), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        ]
+        tfidf = tf.astype(np.float64) * code_idf[row_code]
+        # rank of each batch-vocab code in term-ascending order
+        term_rank = np.empty(v, np.int64)
+        term_rank[np.argsort(np.asarray(uniq, object), kind="stable")] = (
+            np.arange(v)
+        )
+        order = np.lexsort((term_rank[row_code], -tfidf, row_doc))
+        sd = row_doc[order]
+        seg_start = np.zeros(sd.size, np.int64)
+        if sd.size:
+            new = np.empty(sd.size, bool)
+            new[0] = True
+            new[1:] = sd[1:] != sd[:-1]
+            starts = np.flatnonzero(new)
+            seg_start = starts[np.cumsum(new) - 1]
+        pos = np.arange(sd.size) - seg_start
+        sel = order[pos < k]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(row_doc[sel])),
+                "term": uniq_arr.take(pa.array(row_code[sel])),
+                "tf": tf[sel].astype(np.int64),
+                "tfidf": round_half_up(tfidf[sel], 6),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
