@@ -320,6 +320,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc top-5 keywords by tf·ln(N/df): one df shuffle +
         # broadcast idf, per-batch lexsort top-k (value-exact)
         "tfidf_keywords": ta.tfidf_keywords,
+        # exactly-k deterministic uniform sample (bottom-k md5 order
+        # statistic, a semilattice: ≤k rows leave each batch, final
+        # pass ranks k×blocks candidates) (value-exact)
+        "sample_exact_k": sampling.sample_exact_k,
+        # pairwise source contamination at 3-gram granularity: batch
+        # dedup on token-code triples, one coarse md5-byte shard
+        # exchange, diagonal via bincount, Python only over genuinely
+        # shared shingle runs (value-exact)
+        "source_overlap": dedup.source_overlap,
     }
 
 
@@ -1094,6 +1103,26 @@ def oracle_sql() -> dict[str, str]:
         "round(ln((bc.pair_count / nb.n) / ((u1.c / nu.n) * (u2.c / nu.n))), 6) AS pmi "
         "FROM bc JOIN uni u1 ON u1.tok = bc.w1 JOIN uni u2 ON u2.tok = bc.w2, nu, nb "
         "WHERE bc.pair_count >= 5"
+    )
+    # source-pair shingle overlap: distinct (shingle, source) self-join;
+    # src_a <= src_b keeps the diagonal (per-source distinct count)
+    out["source_overlap"] = (
+        "WITH raw AS (SELECT doc_id, coalesce(source, '') AS src, "
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ts "
+        "FROM documents), "
+        "toksj AS (SELECT doc_id, src, unnest(ts) AS tok, generate_subscripts(ts, 1) AS ord FROM raw), "
+        "tri AS (SELECT a.src, a.tok || ' ' || b.tok || ' ' || c.tok AS sh "
+        "FROM toksj a JOIN toksj b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1 "
+        "JOIN toksj c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2), "
+        "tset AS (SELECT DISTINCT sh, src FROM tri) "
+        "SELECT x.src AS src_a, y.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM tset x JOIN tset y ON x.sh = y.sh AND x.src <= y.src "
+        "GROUP BY x.src, y.src"
+    )
+    # deterministic exactly-k sample: the k smallest md5(doc_id) keys
+    out["sample_exact_k"] = (
+        "SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key "
+        "FROM documents ORDER BY sample_key, doc_id LIMIT 200"
     )
     # per-doc tf·idf top-k: row_number() over the UNROUNDED score with
     # the same term-ascending tie-break as the engine's lexsort

@@ -1,0 +1,108 @@
+"""Source-overlap contamination matrix and the exactly-k deterministic
+sample: semantics vs brute-force references on crafted corpora, plus
+the invariants the scale paths rely on (shard-count invariance for the
+overlap, batch-split invariance / semilattice property for bottom-k)."""
+
+import hashlib
+import re
+from collections import defaultdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from themis_search_engine_ray.pipelines import dedup, sampling
+
+_TOK = re.compile(r"[a-z0-9]+")
+
+
+def _write_docs(tmp_path, texts, sources):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(sources, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def _overlap_reference(texts, sources, k=3):
+    by_src = defaultdict(set)
+    for t, s in zip(texts, sources):
+        toks = _TOK.findall((t or "").lower())
+        by_src[s if s is not None else ""].update(
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        )
+    out = {}
+    srcs = sorted(by_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i:]:
+            n = len(by_src[a] & by_src[b])
+            if n:
+                out[(a, b)] = n
+    return out
+
+
+def test_source_overlap_matches_reference(ray_session, tmp_path):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox sleeps all day",  # shares 'the quick brown' etc
+        "completely different words entirely here now",
+        "the quick brown fox jumps over the lazy dog",  # dup of doc 0, other src
+        "short one",  # < k tokens -> no shingles
+    ]
+    sources = ["web", "web", "books", "forums", "forums"]
+    sf = _write_docs(tmp_path, texts, sources)
+    got = dedup.source_overlap(sf).to_pandas()
+    ref = _overlap_reference(texts, sources)
+    assert {
+        (r.src_a, r.src_b): r.n_shared for r in got.itertuples()
+    } == ref
+    # diagonal present for every source with >=1 shingle, and the
+    # cross-source dup registered under the ordered pair
+    assert ("books", "books") in ref and ("forums", "web") in ref
+
+
+def test_source_overlap_shard_invariance(ray_session, tmp_path):
+    texts = ["alpha beta gamma delta"] * 4 + ["alpha beta gamma epsilon zeta"]
+    sources = ["a", "b", "a", "c", "b"]
+    sf = _write_docs(tmp_path, texts, sources)
+
+    def as_dict(df):
+        return {(r.src_a, r.src_b): r.n_shared for r in df.itertuples()}
+
+    one = as_dict(dedup.source_overlap(sf, num_shards=1).to_pandas())
+    many = as_dict(dedup.source_overlap(sf, num_shards=64).to_pandas())
+    assert one == many == _overlap_reference(texts, sources)
+
+
+def _bottomk_reference(ids, k):
+    keyed = sorted((hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids)
+    return keyed[:k]
+
+
+def test_sample_exact_k_matches_reference(ray_session, tmp_path):
+    ids = list(range(1000))
+    sf = _write_docs(tmp_path, ["x"] * len(ids), ["s"] * len(ids))
+    got = sampling.sample_exact_k(sf, k=37).to_pandas()
+    ref = _bottomk_reference(ids, 37)
+    assert len(got) == 37
+    assert sorted(zip(got.sample_key, got.doc_id)) == ref
+
+
+def test_sample_exact_k_is_semilattice(ray_session):
+    """bottomk(bottomk(A) ∪ bottomk(B)) == bottomk(A ∪ B) — the
+    property that lets each batch reduce to ≤ k rows independently."""
+    a, b = list(range(0, 500)), list(range(500, 1000))
+    k = 25
+    merged = sorted(_bottomk_reference(a, k) + _bottomk_reference(b, k))[:k]
+    assert merged == _bottomk_reference(a + b, k)
+
+
+def test_sample_exact_k_fewer_rows_than_k(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, ["x"] * 5, ["s"] * 5)
+    got = sampling.sample_exact_k(sf, k=100).to_pandas()
+    assert len(got) == 5

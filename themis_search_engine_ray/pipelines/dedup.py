@@ -423,6 +423,135 @@ def exact_dedup(sf_dir: str):
     )
 
 
+def source_overlap(sf_dir: str, k: int = 3, num_shards: int = 64):
+    """Pairwise source contamination matrix at word-``k``-gram
+    granularity: for every source pair ``src_a <= src_b``, the number
+    of DISTINCT shingles present in both (the diagonal ``a == b`` is
+    each source's distinct-shingle count). Output:
+    (src_a, src_b, n_shared).
+
+    Shape: each batch reduces to its distinct (shingle, source)
+    combinations — deduped on integer token-code triples FIRST, so
+    shingle strings and md5 keys are built only for the reduced set —
+    then ONE coarse shard exchange on the md5 byte (never a per-shingle
+    groupby: millions of tiny groups is the round-3 anti-pattern).
+    Inside a shard, equal-key runs are found by lexsort + neighbor
+    diff; single-source shingles (the overwhelming majority) fold into
+    the diagonal via one ``bincount``, and only genuinely shared
+    shingles (runs of length > 1, bounded by the cross-source dup
+    mass) expand to explicit pairs. A final bounded
+    ``groupby((src_a, src_b)).sum`` merges the ≤ C(S+1, 2)-row shard
+    partials. md5 keys make hash collisions impossible in practice, so
+    the distinct-shingle counts match the string-level SQL twin
+    exactly; NULL sources count under ``""`` (the mixing key rule)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.tokenize import token_codes_batch
+
+    def emit(batch: pa.Table) -> pa.Table:
+        uniq, codes, lens, n = token_codes_batch(batch["text"], lower_first=True)
+        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        if len(uniq):
+            keep = real[codes]
+            doc_of, codes = doc_of[keep], codes[keep]
+        src_col = pc.fill_null(batch["source"], "")
+        if isinstance(src_col, pa.ChunkedArray):
+            src_col = src_col.combine_chunks()
+        dsrc = src_col.dictionary_encode()
+        src_names = dsrc.dictionary.to_pylist()
+        doc_src = dsrc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        m = codes.size
+        if m < k:
+            return pa.Table.from_pydict(
+                {
+                    "h": pa.array([], pa.string()),
+                    "src": pa.array([], pa.string()),
+                    "shard": pa.array([], pa.int64()),
+                }
+            )
+        nw = m - k + 1
+        valid = doc_of[:nw] == doc_of[k - 1 :]
+        tri = np.stack(
+            [doc_src[doc_of[:nw][valid]]]
+            + [codes[j : j + nw][valid] for j in range(k)],
+            axis=1,
+        )
+        tri = np.unique(tri, axis=0)  # distinct (source, token-code-triple)
+        strings = [
+            " ".join(uniq[c] for c in row[1:]) for row in tri.tolist()
+        ]
+        digests = md5_digests(strings)
+        shard = (
+            np.frombuffer(digests, np.uint8)[::16].astype(np.int64) % num_shards
+        )
+        return pa.Table.from_pydict(
+            {
+                "h": md5_hex_array(strings),
+                "src": pa.array([src_names[r] for r in tri[:, 0].tolist()]),
+                "shard": shard,
+            }
+        )
+
+    def reduce_shard(group: pa.Table) -> pa.Table:
+        h = np.asarray(group["h"].to_pylist(), dtype=object)
+        src = pc.fill_null(group["src"], "")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        dsrc = src.dictionary_encode()
+        names = np.asarray(dsrc.dictionary.to_pylist(), dtype=object)
+        rank = np.empty(len(names), np.int64)
+        rank[np.argsort(names, kind="stable")] = np.arange(len(names))
+        sc = rank[dsrc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        order = np.lexsort((sc, h))
+        h, sc = h[order], sc[order]
+        # distinct (h, src) rows (batches may repeat a combination)
+        first = np.ones(h.size, bool)
+        if h.size:
+            first[1:] = (h[1:] != h[:-1]) | (sc[1:] != sc[:-1])
+        h, sc = h[first], sc[first]
+        new_h = np.ones(h.size, bool)
+        if h.size:
+            new_h[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new_h)
+        runlen = np.diff(np.append(starts, h.size))
+        sorted_names = names[np.argsort(names, kind="stable")]  # name at rank i
+        # diagonal: every distinct (h, src) adds 1 to (src, src)
+        diag = np.bincount(sc, minlength=len(names)).astype(np.int64)
+        pair_counts: dict = {}
+        for s, m_ in zip(starts[runlen > 1].tolist(), runlen[runlen > 1].tolist()):
+            run = sc[s : s + m_]  # ascending, distinct sources
+            for i in range(m_):
+                for j in range(i + 1, m_):
+                    key = (run[i], run[j])
+                    pair_counts[key] = pair_counts.get(key, 0) + 1
+        a = [sorted_names[i] for i in range(len(names)) if diag[i]]
+        b = list(a)
+        n_ = [int(diag[i]) for i in range(len(names)) if diag[i]]
+        for (i, j), c in sorted(pair_counts.items()):
+            a.append(sorted_names[i])
+            b.append(sorted_names[j])
+            n_.append(c)
+        return pa.Table.from_pydict(
+            {
+                "src_a": pa.array(a, pa.string()),
+                "src_b": pa.array(b, pa.string()),
+                "n": pa.array(n_, pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(reduce_shard, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+    )
+
+
 # ------------------------------------------------------- n-gram Jaccard
 
 

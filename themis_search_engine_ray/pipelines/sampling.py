@@ -83,6 +83,52 @@ def stratified_sample(sf_dir: str, threshold_hex: str = "1999"):
     )
 
 
+def sample_exact_k(sf_dir: str, k: int = 200):
+    """Exactly ``k`` documents sampled uniformly and DETERMINISTICALLY:
+    the ``k`` rows with the smallest ``md5(CAST(doc_id AS VARCHAR))``
+    (ties — impossible in practice — broken by doc_id ascending).
+    Output: (doc_id, sample_key). The distributed equivalent of
+    reservoir sampling, reproducible across cluster sizes and reruns:
+    a bottom-k order statistic is a semilattice, so each batch reduces
+    to AT MOST ``k`` candidate rows (the same partial-combiner contract
+    as :func:`top_per_source`) and the final pass ranks a bounded
+    ``k × blocks`` candidate set in one group. Growing the corpus only
+    *replaces* sampled rows, never rescans them."""
+    import ray.data as rd
+
+    from .dedup import md5_hex_array
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        keys = md5_hex_array([str(i) for i in ids.tolist()])
+        order = np.lexsort((ids, np.asarray(keys, dtype=object)))[:k]
+        order.sort()  # keep input order within the batch (cosmetic)
+        t = pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), keys], names=["doc_id", "sample_key"]
+        ).take(pa.array(order))
+        return t.append_column("g", pa.array(np.zeros(len(t), np.int8)))
+
+    def final(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy().astype(np.int64)
+        keys = np.asarray(group["sample_key"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, keys))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[order], pa.int64()),
+                pa.array(keys[order].tolist(), pa.string()),
+            ],
+            names=["doc_id", "sample_key"],
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .map_groups(final, batch_format="pyarrow")
+        .select_columns(["doc_id", "sample_key"])
+    )
+
+
 def _quantile_cont(sorted_vals: np.ndarray, q: float) -> float:
     """SQL quantile_cont: X[l] + (rn - l)·(X[u] - X[l]) over sorted
     values — DuckDB's exact op order, for oracle value-equality."""
