@@ -393,6 +393,22 @@ def run_bench(build_only: bool = False) -> dict:
     n_convs = conversation_assemble(docs_dir).count()
     conv_sec = time.time() - t0
 
+    # non-headline extras: the corpus-analysis family over the same
+    # fixture — bigram PMI collocations (one counting groupby +
+    # broadcast unigram scoring) and per-doc tf-idf keywords (one df
+    # shuffle + broadcast idf + per-batch lexsort top-k)
+    from themis_search_engine_ray.pipelines.text_analysis import (
+        collocations_pmi,
+        tfidf_keywords,
+    )
+
+    t0 = time.time()
+    n_colloc = collocations_pmi(docs_dir).count()
+    colloc_sec = time.time() - t0
+    t0 = time.time()
+    n_tfidf = tfidf_keywords(docs_dir).count()
+    tfidf_sec = time.time() - t0
+
     # optional large-corpus build point: driver-visible throughput floor
     # at ~8x the headline corpus (BASELINE.md records the same regime)
     big = {}
@@ -447,6 +463,9 @@ def run_bench(build_only: bool = False) -> dict:
         "chunk_rows_per_sec": round(n_chunks / chunk_sec, 1),
         "span_dedup_docs_per_sec": round(n_span / span_sec, 1),
         "conv_assemble_convs_per_sec": round(n_convs / conv_sec, 1),
+        "collocations_sec": round(colloc_sec, 3),
+        "collocations_rows": n_colloc,
+        "tfidf_rows_per_sec": round(n_tfidf / tfidf_sec, 1),
         "repeats": repeats,
         "spread": {
             k: [round(r[k], 3) for r in runs] for k in runs[0]
