@@ -329,6 +329,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange, diagonal via bincount, Python only over genuinely
         # shared shingle runs (value-exact)
         "source_overlap": dedup.source_overlap,
+        # p5-p95 token-count band filter: exact global quantiles from
+        # integer-histogram partials (driver reads only the histogram),
+        # then a broadcast-scalar filter pass (value-exact)
+        "length_filter": ta.length_filter,
     }
 
 
@@ -1118,6 +1122,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT x.src AS src_a, y.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared "
         "FROM tset x JOIN tset y ON x.sh = y.sh AND x.src <= y.src "
         "GROUP BY x.src, y.src"
+    )
+    # length-band filter: quantile_cont thresholds over alnum counts
+    out["length_filter"] = (
+        "WITH t AS (SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "q AS (SELECT quantile_cont(n_tokens, 0.05) AS lo, "
+        "quantile_cont(n_tokens, 0.95) AS hi FROM t) "
+        "SELECT doc_id, n_tokens FROM t, q "
+        "WHERE n_tokens >= q.lo AND n_tokens <= q.hi"
     )
     # deterministic exactly-k sample: the k smallest md5(doc_id) keys
     out["sample_exact_k"] = (

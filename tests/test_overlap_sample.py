@@ -106,3 +106,40 @@ def test_sample_exact_k_fewer_rows_than_k(ray_session, tmp_path):
     sf = _write_docs(tmp_path, ["x"] * 5, ["s"] * 5)
     got = sampling.sample_exact_k(sf, k=100).to_pandas()
     assert len(got) == 5
+
+
+def _quantile_cont_ref(vals, q):
+    vals = sorted(vals)
+    n = len(vals)
+    if n == 1:
+        return float(vals[0])
+    rn = (n - 1) * q
+    lo, hi = int(rn // 1), -(-rn // 1)
+    return float(vals[int(lo)]) + (rn - lo) * (
+        float(vals[int(hi)]) - float(vals[int(lo)])
+    )
+
+
+def test_length_filter_matches_reference(ray_session, tmp_path):
+    from themis_search_engine_ray.pipelines import text_analysis as ta
+
+    # token counts 1..40 (interpolated thresholds land between ints)
+    texts = [" ".join(["tok"] * n) for n in range(1, 41)]
+    sf = _write_docs(tmp_path, texts, ["s"] * len(texts))
+    got = ta.length_filter(sf, lo_q=0.1, hi_q=0.9).to_pandas()
+    counts = list(range(1, 41))
+    lo = _quantile_cont_ref(counts, 0.1)
+    hi = _quantile_cont_ref(counts, 0.9)
+    ref = {i for i, n in enumerate(counts) if lo <= n <= hi}
+    assert set(got.doc_id) == ref
+    assert dict(zip(got.doc_id, got.n_tokens)) == {
+        i: counts[i] for i in ref
+    }
+
+
+def test_length_filter_single_doc(ray_session, tmp_path):
+    from themis_search_engine_ray.pipelines import text_analysis as ta
+
+    sf = _write_docs(tmp_path, ["one two three"], ["s"])
+    got = ta.length_filter(sf).to_pandas()
+    assert list(got.doc_id) == [0] and list(got.n_tokens) == [3]

@@ -762,6 +762,84 @@ def collocations_pmi(sf_dir: str, min_count: int = 5):
     )
 
 
+def length_filter(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
+    """Length-band curation filter: keep documents whose alnum token
+    count lies inside the corpus-global ``[quantile(lo_q),
+    quantile(hi_q)]`` band (the classic "drop the shortest 5% and the
+    longest 5%" pass). Output: (doc_id, n_tokens).
+
+    The global quantiles are EXACT without sorting the corpus: token
+    counts are small integers, so each batch reduces to a (n_tokens,
+    cnt) histogram partial, one bounded ``groupby(n_tokens).sum``
+    merges them, and the driver reads back only the histogram (≤ max
+    doc length rows, never the corpus) to take the order statistic
+    with DuckDB's ``quantile_cont`` interpolation op order
+    (:func:`~..pipelines.sampling._quantile_cont`). The second pass
+    filters against the two broadcast scalars — no shuffle, no sort,
+    two streaming reads total."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        n = (
+            pc.count_substring_regex(t, _ALNUM_RE.pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vals, cnts = np.unique(n, return_counts=True)
+        return pa.Table.from_pydict(
+            {"n_tokens": vals, "cnt": cnts.astype(np.int64)}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_tokens")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("n_tokens")
+    )
+    vals = h["n_tokens"].to_numpy().astype(np.int64)
+    ccum = np.cumsum(h["cnt"].to_numpy().astype(np.int64))
+    n_total = int(ccum[-1]) if ccum.size else 0
+    if n_total == 0:
+        return ds.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"doc_id": pa.array([], b["doc_id"].type), "n_tokens": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    def order_stat(q: float) -> float:
+        # value at sorted (0-based) position p, read off the histogram;
+        # interpolation is _quantile_cont's exact IEEE op order
+        if n_total == 1:
+            return float(vals[0])
+        rn = (n_total - 1) * q
+        lo = int(np.floor(rn))
+        hi = int(np.ceil(rn))
+        x_lo = float(vals[np.searchsorted(ccum, lo, side="right")])
+        x_hi = float(vals[np.searchsorted(ccum, hi, side="right")])
+        return x_lo + (rn - lo) * (x_hi - x_lo)
+
+    lo_v, hi_v = order_stat(lo_q), order_stat(hi_q)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        n = pc.cast(
+            pc.count_substring_regex(t, _ALNUM_RE.pattern), pa.int64()
+        )
+        f = pc.cast(n, pa.float64())
+        mask = pc.and_(pc.greater_equal(f, lo_v), pc.less_equal(f, hi_v))
+        return pa.Table.from_arrays(
+            [batch["doc_id"].filter(mask), n.filter(mask)],
+            names=["doc_id", "n_tokens"],
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def tfidf_keywords(sf_dir: str, k: int = 5):
     """Per-document keyword extraction: the top-``k`` terms of each doc
     by ``tfidf = tf · ln(N/df)``, ties broken by term ascending.
