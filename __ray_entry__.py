@@ -333,6 +333,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-histogram partials (driver reads only the histogram),
         # then a broadcast-scalar filter pass (value-exact)
         "length_filter": ta.length_filter,
+        # leakage-free split: dataset_split's boundary rule keyed on
+        # the near-dup CLUSTER label, so near-duplicates never straddle
+        # train/test (value-exact)
+        "split_by_cluster": sampling.split_by_cluster,
     }
 
 
@@ -1132,6 +1136,27 @@ def oracle_sql() -> dict[str, str]:
         "quantile_cont(n_tokens, 0.95) AS hi FROM t) "
         "SELECT doc_id, n_tokens FROM t, q "
         "WHERE n_tokens >= q.lo AND n_tokens <= q.hi"
+    )
+    # leakage-free split: the dedup_clusters walk feeds the same
+    # splitmix64 boundary chain as dataset_split, keyed on `cluster`
+    # (aliased to doc_id for the chain helper, which hashes that name)
+    _cluster_base = (
+        "SELECT doc_id AS real_id, cluster, cluster AS doc_id FROM ("
+        + out["dedup_clusters"]
+        + ")"
+    )
+    _cl_chain = _splitmix_chain_sql(_cluster_base)
+    _cl_bounds = __import__(
+        "themis_search_engine_ray.pipelines.sampling", fromlist=["split_boundaries"]
+    ).split_boundaries({"train": 0.9, "val": 0.05, "test": 0.05})
+    _cl_whens = " ".join(
+        f"WHEN h <= CAST('{b}' AS HUGEINT) THEN '{name}'"
+        for name, b in _cl_bounds[:-1]
+    )
+    out["split_by_cluster"] = (
+        f"SELECT real_id AS doc_id, cluster, "
+        f"CASE {_cl_whens} ELSE '{_cl_bounds[-1][0]}' END AS split "
+        f"FROM ({_cl_chain})"
     )
     # deterministic exactly-k sample: the k smallest md5(doc_id) keys
     out["sample_exact_k"] = (

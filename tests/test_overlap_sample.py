@@ -143,3 +143,38 @@ def test_length_filter_single_doc(ray_session, tmp_path):
     sf = _write_docs(tmp_path, ["one two three"], ["s"])
     got = ta.length_filter(sf).to_pandas()
     assert list(got.doc_id) == [0] and list(got.n_tokens) == [3]
+
+
+def test_split_by_cluster_no_leakage(ray_session, tmp_path):
+    """Near-duplicate documents always land in the SAME split, and
+    singleton clusters reproduce dataset_split's rule keyed on the
+    label (= their own doc_id)."""
+    import numpy as np
+
+    from themis_search_engine_ray.pipelines.sampling import (
+        _GOLDEN,
+        _U64,
+        split_boundaries,
+    )
+    from themis_search_engine_ray.pipelines.similarity import _splitmix64
+
+    base = "the quick brown fox jumps over the lazy sleeping dog today"
+    texts = [base, base + " extra"] + [
+        f"unique document number {i} with its very own distinct content entirely"
+        for i in range(8)
+    ]
+    sf = _write_docs(tmp_path, texts, ["s"] * len(texts))
+    got = sampling.split_by_cluster(sf).to_pandas()
+    by_doc = dict(zip(got.doc_id, got.split))
+    cl = dict(zip(got.doc_id, got.cluster))
+    # docs 0 and 1 are near-dups (jaccard >= 0.5) -> same cluster, same split
+    assert cl[0] == cl[1] == 0
+    assert by_doc[0] == by_doc[1]
+    # every row's split matches the pure splitmix rule of its label
+    bounds = split_boundaries({"train": 0.9, "val": 0.05, "test": 0.05})
+    uppers = np.asarray([b for _, b in bounds], np.uint64)
+    names = [n for n, _ in bounds]
+    for d, c in cl.items():
+        with np.errstate(over="ignore"):
+            h = _splitmix64(np.asarray([c], np.uint64))[0]
+        assert by_doc[d] == names[int(np.searchsorted(uppers, h))]

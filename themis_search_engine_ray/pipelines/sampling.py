@@ -432,6 +432,53 @@ def dataset_split(
     ).map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def split_by_cluster(
+    sf_dir: str,
+    fractions: "dict[str, float] | None" = None,
+    seed: int = 0,
+    threshold: float = 0.5,
+    k: int = 3,
+):
+    """LEAKAGE-FREE train/val/test assignment: the split is a pure
+    function of the document's near-duplicate CLUSTER label (the
+    connected component from :func:`~.dedup.dedup_clusters`), not of
+    the document itself — so two near-duplicate documents can never
+    straddle a split boundary and leak train content into test. Same
+    boundary rule as :func:`dataset_split` (``splitmix64(cluster +
+    seed·golden)`` vs cumulative-fraction u64 boundaries, shared
+    verbatim with the SQL oracle); singleton clusters degrade to
+    exactly ``dataset_split`` keyed on doc_id, since a singleton's
+    label IS its doc_id. Output: (doc_id, cluster, split) — one
+    vectorized tag pass over the cluster labels, no extra shuffle
+    beyond what the clustering itself does."""
+    import ray.data as rd  # noqa: F401  (Dataset flows from dedup_clusters)
+
+    from .dedup import dedup_clusters
+    from .similarity import _splitmix64
+
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    bounds = split_boundaries(fractions)
+    names = pa.array([n for n, _ in bounds], pa.string())
+    uppers = np.asarray([b for _, b in bounds], np.uint64)
+    offset = np.uint64((seed * _GOLDEN) % _U64)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = _splitmix64(
+                batch["cluster"].to_numpy().astype(np.uint64) + offset
+            )
+        idx = np.searchsorted(uppers, h, side="left")
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["cluster"], names.take(idx)],
+            names=["doc_id", "cluster", "split"],
+        )
+
+    return dedup_clusters(sf_dir, threshold=threshold, k=k).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _topn_in_order(src_codes, toks, ids, n):
     """Indices of the per-source top-``n`` rows by (n_tokens DESC,
     doc_id ASC), plus each kept row's 1-based rank — one lexsort and
