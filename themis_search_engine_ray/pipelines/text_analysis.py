@@ -762,6 +762,22 @@ def collocations_pmi(sf_dir: str, min_count: int = 5):
     )
 
 
+def hist_order_stat(vals: np.ndarray, ccum: np.ndarray, q: float) -> float:
+    """quantile_cont over the integer multiset described by a histogram
+    (``vals`` ascending distinct values, ``ccum`` cumulative counts) —
+    bit-equal to DuckDB's interpolation over the expanded sorted array
+    (property-tested), without ever expanding it."""
+    n_total = int(ccum[-1])
+    if n_total == 1:
+        return float(vals[0])
+    rn = (n_total - 1) * q
+    lo = int(np.floor(rn))
+    hi = int(np.ceil(rn))
+    x_lo = float(vals[np.searchsorted(ccum, lo, side="right")])
+    x_hi = float(vals[np.searchsorted(ccum, hi, side="right")])
+    return x_lo + (rn - lo) * (x_hi - x_lo)
+
+
 def length_filter(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
     """Length-band curation filter: keep documents whose alnum token
     count lies inside the corpus-global ``[quantile(lo_q),
@@ -811,19 +827,8 @@ def length_filter(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
             batch_format="pyarrow",
         )
 
-    def order_stat(q: float) -> float:
-        # value at sorted (0-based) position p, read off the histogram;
-        # interpolation is _quantile_cont's exact IEEE op order
-        if n_total == 1:
-            return float(vals[0])
-        rn = (n_total - 1) * q
-        lo = int(np.floor(rn))
-        hi = int(np.ceil(rn))
-        x_lo = float(vals[np.searchsorted(ccum, lo, side="right")])
-        x_hi = float(vals[np.searchsorted(ccum, hi, side="right")])
-        return x_lo + (rn - lo) * (x_hi - x_lo)
-
-    lo_v, hi_v = order_stat(lo_q), order_stat(hi_q)
+    lo_v = hist_order_stat(vals, ccum, lo_q)
+    hi_v = hist_order_stat(vals, ccum, hi_q)
 
     def keep(batch: pa.Table) -> pa.Table:
         t = pc.fill_null(batch["text"], "")
