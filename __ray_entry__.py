@@ -337,6 +337,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the near-dup CLUSTER label, so near-duplicates never straddle
         # train/test (value-exact)
         "split_by_cluster": sampling.split_by_cluster,
+        # semi-structured extraction: the integer "k" field of the JSON
+        # props column via ONE RE2 kernel (shared engine with DuckDB's
+        # regexp_extract), then int64-exact per-type stats (value-exact)
+        "props_field_stats": windows.props_field_stats,
+        # kNN label-consistency diagnostic: blocked chunk-pair partial
+        # top-k (semilattice) + one coarse shard reduce with vectorized
+        # majority vote (value-exact)
+        "knn_label_consistency": similarity.knn_label_consistency,
     }
 
 
@@ -1157,6 +1165,29 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT real_id AS doc_id, cluster, "
         f"CASE {_cl_whens} ELSE '{_cl_bounds[-1][0]}' END AS split "
         f"FROM ({_cl_chain})"
+    )
+    # kNN label vote: the knn_brute ordering contract (cos desc, id asc)
+    # + count votes with (cnt desc, label asc) tie-break
+    out["knn_label_consistency"] = (
+        "WITH pairs AS (SELECT a.vec_id, CAST(a.label AS BIGINT) AS label, "
+        "b.vec_id AS nid, CAST(b.label AS BIGINT) AS nlabel, "
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos "
+        "FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id), "
+        "knn AS (SELECT * FROM pairs "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nid) <= 10), "
+        "votes AS (SELECT vec_id, label, nlabel, CAST(count(*) AS BIGINT) AS c "
+        "FROM knn GROUP BY vec_id, label, nlabel) "
+        "SELECT vec_id, label, nlabel AS predicted, c AS n_votes FROM votes "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nlabel) = 1"
+    )
+    # JSON props extraction: RE2 regexp_extract mirrors pc.extract_regex
+    out["props_field_stats"] = (
+        "WITH v AS (SELECT coalesce(event_type, '') AS event_type, "
+        "CAST(regexp_extract(coalesce(props, ''), '\"k\":\\s*(-?\\d+)', 1) AS BIGINT) AS val "
+        "FROM events WHERE regexp_extract(coalesce(props, ''), '\"k\":\\s*(-?\\d+)', 1) != '') "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(val) AS BIGINT) AS sum_v, CAST(min(val) AS BIGINT) AS min_v, "
+        "CAST(max(val) AS BIGINT) AS max_v FROM v GROUP BY event_type"
     )
     # deterministic exactly-k sample: the k smallest md5(doc_id) keys
     out["sample_exact_k"] = (

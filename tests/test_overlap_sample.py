@@ -145,6 +145,82 @@ def test_length_filter_single_doc(ray_session, tmp_path):
     assert list(got.doc_id) == [0] and list(got.n_tokens) == [3]
 
 
+def _write_embeddings(tmp_path, vecs, labels):
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_knn_label_consistency_matches_brute(ray_session, tmp_path):
+    """Crafted 2-D clusters: majority vote, self-exclusion, smallest-
+    label vote tie-break — checked against an O(n²) numpy reference,
+    and invariant to the chunk size (multi-chunk block cross product
+    == single chunk)."""
+    import numpy as np
+
+    from themis_search_engine_ray.pipelines import similarity
+
+    rng = np.random.RandomState(5)
+    vecs, labels = [], []
+    for lab, center in ((0, (1.0, 0.0)), (1, (0.0, 1.0)), (2, (-1.0, 0.3))):
+        for _ in range(7):
+            v = np.asarray(center) + rng.normal(scale=0.05, size=2)
+            vecs.append(v.astype(np.float32).tolist())
+            labels.append(lab)
+    sf = _write_embeddings(tmp_path, vecs, labels)
+
+    def brute(k):
+        m = np.asarray(vecs, np.float64)
+        m = m / np.linalg.norm(m, axis=1)[:, None]
+        cos = m @ m.T
+        out = {}
+        ids = np.arange(len(vecs))
+        for i in ids:
+            sel = np.lexsort((ids, -cos[i]))
+            sel = sel[sel != i][:k]
+            votes = {}
+            for j in sel:
+                votes[labels[j]] = votes.get(labels[j], 0) + 1
+            pred = sorted(votes.items(), key=lambda x: (-x[1], x[0]))[0]
+            out[i] = (labels[i], pred[0], pred[1])
+        return out
+
+    ref = brute(5)
+    for chunk_rows in (10_000, 4):  # single-chunk vs 6-chunk cross product
+        got = similarity.knn_label_consistency(
+            sf, k=5, chunk_rows=chunk_rows
+        ).to_pandas()
+        assert {
+            r.vec_id: (r.label, r.predicted, r.n_votes) for r in got.itertuples()
+        } == ref
+
+
+def test_props_field_stats_semantics(ray_session, tmp_path):
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "b", "b", None],
+            "props": ['{"k": 3}', '{"k": -2}', '{"j": 9}', '{"k": 7}', '{"k": 1}'],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(rows), str(tmp_path / "events.parquet"))
+    from themis_search_engine_ray.pipelines import windows
+
+    got = windows.props_field_stats(str(tmp_path)).to_pandas()
+    by = {r.event_type: (r.n_events, r.sum_v, r.min_v, r.max_v) for r in got.itertuples()}
+    # 'b' has one row without "k" -> excluded; NULL event_type counts as ""
+    assert by == {"a": (2, 1, -2, 3), "b": (1, 7, 7, 7), "": (1, 1, 1, 1)}
+
+
 def test_split_by_cluster_no_leakage(ray_session, tmp_path):
     """Near-duplicate documents always land in the SAME split, and
     singleton clusters reproduce dataset_split's rule keyed on the

@@ -365,3 +365,147 @@ def lsh_knn_full(sf_dir: str, k: int = 5, n_queries: int = 10):
     provably 1.0, output == :func:`knn_brute` (its oracle is this
     function's oracle too)."""
     return lsh_knn(sf_dir, k=k, n_queries=n_queries, bands=1, bits=0)
+
+
+def knn_label_consistency(
+    sf_dir: str, k: int = 10, chunk_rows: int = 8192, num_shards: int = 64
+):
+    """Embedding-space label agreement: for every vector, the majority
+    label among its ``k`` nearest cosine neighbors (self excluded;
+    neighbor ties broken by (cosine desc, vec_id asc) — the
+    :func:`knn_brute` contract whose bit-parity with DuckDB's
+    ``list_cosine_similarity`` the gate already proves; vote ties
+    broken by smallest label). Output: (vec_id, label, predicted,
+    n_votes) — the standard kNN-classifier diagnostic for embedding
+    quality / label noise.
+
+    Shape: all-pairs is inherently Ω(N²) like
+    :func:`~.dedup.embedding_dup_pairs` and distributes the same way —
+    chunked blocked cross product over object-store Arrow refs (driver
+    holds O(C) refs, a task holds two chunks). Each (i ≤ j) block emits
+    k-row PARTIAL top-k lists for both chunk sides (top-k is a
+    semilattice), then ONE coarse shard exchange (never a per-vector
+    groupby) reduces each vector's partials and votes with pure
+    lexsort/segment kernels — no per-vector Python anywhere. For
+    corpora where C(C+1)/2 blocks are unaffordable, bucket candidates
+    with the :func:`lsh_knn` hyperplane bands first (documented recall)
+    and feed the survivors through the same reduce."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    n = ds.count()
+    n_chunks = max(1, (n + chunk_rows - 1) // chunk_rows)
+    refs = ds.repartition(n_chunks).materialize().to_arrow_refs()
+    n_chunks = len(refs)
+
+    def _load(ref):
+        t = ray.get(ref)
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ids, labels, _normalized(_embedding_matrix(t["embedding"]))
+
+    def _partial_rows(ids_r, labs_r, ids_c, labs_c, cos):
+        """Per row of `cos`: its top-(k+1) columns by (cos desc, id asc),
+        self filtered out, capped at k — the knn_brute selection."""
+        kk = min(k + 1, ids_c.size)
+        out = []
+        for r in range(ids_r.size):
+            row = cos[r]
+            sel = np.lexsort((ids_c, -row))[:kk]
+            sel = sel[ids_c[sel] != ids_r[r]][:k]
+            out.append(
+                (
+                    np.full(sel.size, ids_r[r], np.int64),
+                    np.full(sel.size, labs_r[r], np.int64),
+                    labs_c[sel],
+                    row[sel],
+                    ids_c[sel],
+                )
+            )
+        cols = [np.concatenate(x) if out else np.empty(0) for x in zip(*out)] or [
+            np.empty(0, np.int64)
+        ] * 5
+        return cols
+
+    def block(batch: pa.Table, refs=refs) -> pa.Table:
+        vs, ls, nls, cs, nids = [], [], [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_a, lab_a, mat_a = _load(refs[i])
+            if i == j:
+                ids_b, lab_b, mat_b = ids_a, lab_a, mat_a
+            else:
+                ids_b, lab_b, mat_b = _load(refs[j])
+            cos = mat_a @ mat_b.T
+            for cols, args in (
+                ((vs, ls, nls, cs, nids), (ids_a, lab_a, ids_b, lab_b, cos)),
+            ):
+                got = _partial_rows(*args)
+                for acc, arr in zip(cols, got):
+                    acc.append(arr)
+            if i != j:
+                got = _partial_rows(ids_b, lab_b, ids_a, lab_a, cos.T)
+                for acc, arr in zip((vs, ls, nls, cs, nids), got):
+                    acc.append(arr)
+        v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": v.astype(np.int64),
+                "label": (np.concatenate(ls) if ls else np.empty(0)).astype(np.int64),
+                "nlabel": (np.concatenate(nls) if nls else np.empty(0)).astype(np.int64),
+                "cos": (np.concatenate(cs) if cs else np.empty(0)).astype(np.float64),
+                "nid": (np.concatenate(nids) if nids else np.empty(0)).astype(np.int64),
+                "shard": (v % num_shards).astype(np.int64),
+            }
+        )
+
+    def vote_shard(group: pa.Table) -> pa.Table:
+        v = group["vec_id"].to_numpy().astype(np.int64)
+        lab = group["label"].to_numpy().astype(np.int64)
+        nl = group["nlabel"].to_numpy().astype(np.int64)
+        c = group["cos"].to_numpy().astype(np.float64)
+        nid = group["nid"].to_numpy().astype(np.int64)
+        # global top-k per vector over the chunk partials
+        order = np.lexsort((nid, -c, v))
+        sv = v[order]
+        new = np.ones(sv.size, bool)
+        new[1:] = sv[1:] != sv[:-1]
+        seg = np.flatnonzero(new)[np.cumsum(new) - 1]
+        keep = (np.arange(sv.size) - seg) < k
+        kv, klab, knl = sv[keep], lab[order][keep], nl[order][keep]
+        # votes: count per (vec, nlabel), then first by (cnt desc,
+        # nlabel asc) per vec
+        key = np.stack([kv, knl], axis=1)
+        ukey, cnt = np.unique(key, axis=0, return_counts=True)
+        o2 = np.lexsort((ukey[:, 1], -cnt, ukey[:, 0]))
+        uv = ukey[o2, 0]
+        first = np.ones(uv.size, bool)
+        first[1:] = uv[1:] != uv[:-1]
+        pred_v = uv[first]
+        pred_l = ukey[o2, 1][first]
+        votes = cnt[o2][first]
+        # own label per vec (constant within a vec's rows; kv and
+        # pred_v are both ascending, so one searchsorted maps them)
+        own_first = np.ones(kv.size, bool)
+        own_first[1:] = kv[1:] != kv[:-1]
+        own_ids, own_lab = kv[own_first], klab[own_first]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pred_v,
+                "label": own_lab[np.searchsorted(own_ids, pred_v)],
+                "predicted": pred_l.astype(np.int64),
+                "n_votes": votes.astype(np.int64),
+            }
+        )
+
+    items = [
+        {"i": i, "j": j} for i in range(n_chunks) for j in range(i, n_chunks)
+    ]
+    return (
+        rd.from_items(items)
+        .map_batches(block, batch_format="pyarrow", batch_size=1)
+        .groupby("shard")
+        .map_groups(vote_shard, batch_format="pyarrow")
+    )

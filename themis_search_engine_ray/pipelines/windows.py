@@ -420,3 +420,83 @@ def event_funnel(
         .groupby("shard")
         .map_groups(funnel_shard, batch_format="pyarrow")
     )
+
+
+def props_field_stats(sf_dir: str, field: str = "k"):
+    """Semi-structured extraction over the events stream: pull the
+    integer ``field`` out of the JSON ``props`` column with ONE RE2
+    kernel (``pc.extract_regex`` — pyarrow and DuckDB share the RE2
+    engine, so the extraction rule is bit-identical to the oracle's
+    ``regexp_extract``), then per-event-type integer stats. Output:
+    (event_type, n_events, sum_v, min_v, max_v) over rows where the
+    field is present. All four stats are integer semilattice partials
+    (each batch reduces to ≤ #event-types rows), so the single bounded
+    ``groupby(event_type)`` is accumulation-order-exact at any scale —
+    the fixed-point lesson from the window sums, applied by staying in
+    int64 end to end. No per-row JSON parsing anywhere."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    pat = '"' + field + '":\\s*(?P<v>-?\\d+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = pc.fill_null(batch["props"], "")
+        ext = pc.extract_regex(props, pattern=pat)
+        ok = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+        vals = np.zeros(len(props), np.int64)
+        if ok.any():
+            flat = pc.struct_field(ext, "v")
+            vals[ok] = np.asarray(
+                pc.cast(pc.drop_null(flat), pa.int64()).to_numpy()
+            )
+        et = pc.fill_null(batch["event_type"], "")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        det = et.dictionary_encode()
+        codes = det.indices.to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+        v = vals[ok]
+        if not v.size:
+            return pa.Table.from_pydict(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_v": pa.array([], pa.int64()),
+                    "min_v": pa.array([], pa.int64()),
+                    "max_v": pa.array([], pa.int64()),
+                }
+            )
+        ucodes = np.unique(codes)
+        remap = np.zeros(int(codes.max()) + 1, np.int64)
+        remap[ucodes] = np.arange(ucodes.size)
+        g = remap[codes]
+        n = np.bincount(g, minlength=ucodes.size)
+        # int64-exact grouped sums (np.bincount weights go through
+        # float64): sort + reduceat stays integer end to end
+        order = np.argsort(g, kind="stable")
+        gs, vs = g[order], v[order]
+        cuts = np.flatnonzero(np.diff(gs)) + 1
+        s_exact = np.add.reduceat(vs, np.concatenate([[0], cuts]))
+        mn = np.minimum.reduceat(vs, np.concatenate([[0], cuts]))
+        mx = np.maximum.reduceat(vs, np.concatenate([[0], cuts]))
+        return pa.Table.from_pydict(
+            {
+                "event_type": det.dictionary.take(pa.array(ucodes)),
+                "n_events": n.astype(np.int64),
+                "sum_v": s_exact.astype(np.int64),
+                "min_v": mn.astype(np.int64),
+                "max_v": mx.astype(np.int64),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_v", alias_name="sum_v"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+    )
