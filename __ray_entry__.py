@@ -345,6 +345,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-k (semilattice) + one coarse shard reduce with vectorized
         # majority vote (value-exact)
         "knn_label_consistency": similarity.knn_label_consistency,
+        # corpus-relative quality normalization: percent_rank() without
+        # a global sort — the 6-dec scores histogram exactly, the
+        # driver broadcasts cumulative strictly-less counts (value-exact)
+        "quality_percentile": ta.quality_percentile,
     }
 
 
@@ -1165,6 +1169,13 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT real_id AS doc_id, cluster, "
         f"CASE {_cl_whens} ELSE '{_cl_bounds[-1][0]}' END AS split "
         f"FROM ({_cl_chain})"
+    )
+    # percentile rank over the proven quality_scores subquery: ties
+    # share the min rank, (rank-1)/(N-1) — identical integer operands
+    out["quality_percentile"] = (
+        "SELECT doc_id, quality_score, "
+        "round(percent_rank() OVER (ORDER BY quality_score), 6) AS pct_rank "
+        "FROM (" + out["quality_scores"] + ")"
     )
     # kNN label vote: the knn_brute ordering contract (cos desc, id asc)
     # + count votes with (cnt desc, label asc) tie-break

@@ -221,6 +221,24 @@ def test_props_field_stats_semantics(ray_session, tmp_path):
     assert by == {"a": (2, 1, -2, 3), "b": (1, 7, 7, 7), "": (1, 1, 1, 1)}
 
 
+def test_quality_percentile_tie_semantics(ray_session, tmp_path):
+    """percent_rank(): ties share the MIN rank, (rank-1)/(N-1)."""
+    from themis_search_engine_ray.pipelines import text_analysis as ta
+
+    # two empty docs score identically (ties); others differ
+    texts = ["", "", "the quick brown fox is here today", "a b c d e f g"]
+    sf = _write_docs(tmp_path, texts, ["s"] * len(texts))
+    got = ta.quality_percentile(sf).to_pandas().sort_values("doc_id")
+    scores = list(got.quality_score)
+    n = len(scores)
+    for i, s in enumerate(scores):
+        cl = sum(1 for x in scores if x < s)
+        assert got.pct_rank.iloc[i] == round(cl / (n - 1), 6)
+    # the two tied docs share one pct_rank
+    tied = got[got.quality_score == scores[0]]
+    assert len(set(tied.pct_rank)) == 1
+
+
 def test_split_by_cluster_no_leakage(ray_session, tmp_path):
     """Near-duplicate documents always land in the SAME split, and
     singleton clusters reproduce dataset_split's rule keyed on the

@@ -845,6 +845,66 @@ def length_filter(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def quality_percentile(sf_dir: str):
+    """Percentile-rank normalization of the composite quality score —
+    the form a corpus-relative quality floor actually wants ("drop the
+    bottom 20%" is stable across corpora; a raw-score threshold is
+    not). Output: (doc_id, quality_score, pct_rank) with SQL
+    ``percent_rank()`` semantics: (rank − 1)/(N − 1), ties sharing the
+    minimum rank, rounded to 6.
+
+    Exact without a global sort: quality scores are already 6-decimal
+    fixed point, so each batch reduces to a (score·10⁶ → count)
+    histogram partial, one bounded groupby merges them, the driver
+    reads back only the histogram (≤10⁶+1 rows by construction) and
+    broadcasts the cumulative strictly-less counts; a second streaming
+    pass maps each row through one ``searchsorted``. The rank division
+    uses the same integer operands as the SQL window, so the doubles
+    are bit-identical."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def score_only(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        return q.select(["doc_id", "quality_score"])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = ds.map_batches(score_only, batch_format="pyarrow", zero_copy_batch=True)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        keys = np.round(
+            batch["quality_score"].to_numpy() * 1e6
+        ).astype(np.int64)
+        vals, cnts = np.unique(keys, return_counts=True)
+        return pa.Table.from_pydict({"key": vals, "cnt": cnts.astype(np.int64)})
+
+    h = (
+        scored.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("key")
+    )
+    keys = h["key"].to_numpy().astype(np.int64)
+    cnts = h["cnt"].to_numpy().astype(np.int64)
+    less = np.concatenate([[0], np.cumsum(cnts)[:-1]])  # strictly-less counts
+    n_total = int(cnts.sum())
+
+    def rank(batch: pa.Table) -> pa.Table:
+        k = np.round(batch["quality_score"].to_numpy() * 1e6).astype(np.int64)
+        cl = less[np.searchsorted(keys, k)]
+        if n_total > 1:
+            pr = round_half_up(cl.astype(np.float64) / float(n_total - 1), 6)
+        else:
+            pr = np.zeros(k.size, np.float64)
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["quality_score"], pa.array(pr, pa.float64())],
+            names=["doc_id", "quality_score", "pct_rank"],
+        )
+
+    return scored.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def tfidf_keywords(sf_dir: str, k: int = 5):
     """Per-document keyword extraction: the top-``k`` terms of each doc
     by ``tfidf = tf · ln(N/df)``, ties broken by term ascending.
