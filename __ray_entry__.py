@@ -349,6 +349,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a global sort — the 6-dec scores histogram exactly, the
         # driver broadcasts cumulative strictly-less counts (value-exact)
         "quality_percentile": ta.quality_percentile,
+        # Heaps'-law vocabulary growth: per-batch (term, min doc)
+        # partials → Min groupby → bounded threshold counts; nothing
+        # vocab-sized reaches the driver (value-exact)
+        "vocab_growth": ta.vocab_growth,
     }
 
 
@@ -1169,6 +1173,16 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT real_id AS doc_id, cluster, "
         f"CASE {_cl_whens} ELSE '{_cl_bounds[-1][0]}' END AS split "
         f"FROM ({_cl_chain})"
+    )
+    # Heaps curve: first-occurrence doc per term, counted per threshold
+    out["vocab_growth"] = (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex("
+        "lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '')) AS tok "
+        "FROM documents), "
+        "fm AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok) "
+        "SELECT v.n AS n_docs, CAST(count(*) AS BIGINT) AS n_terms "
+        "FROM (VALUES (10), (50), (100), (250), (500)) v(n) "
+        "JOIN fm ON fm.first_doc < v.n GROUP BY v.n"
     )
     # percentile rank over the proven quality_scores subquery: ties
     # share the min rank, (rank-1)/(N-1) — identical integer operands

@@ -221,6 +221,22 @@ def test_props_field_stats_semantics(ray_session, tmp_path):
     assert by == {"a": (2, 1, -2, 3), "b": (1, 7, 7, 7), "": (1, 1, 1, 1)}
 
 
+def test_vocab_growth_matches_reference(ray_session, tmp_path):
+    """Heaps curve vs a running-set reference; terms repeated in later
+    docs never count twice, thresholds below any content drop out."""
+    from themis_search_engine_ray.pipelines import text_analysis as ta
+
+    texts = ["alpha beta", "beta gamma", "alpha delta epsilon", "zeta"]
+    sf = _write_docs(tmp_path, texts, ["s"] * len(texts))
+    got = ta.vocab_growth(sf, thresholds=(1, 2, 3, 4, 100)).to_pandas()
+    seen, ref = set(), {}
+    for i, t in enumerate(texts):
+        seen.update(re.findall(r"[a-z0-9]+", t.lower()))
+        ref[i + 1] = len(seen)
+    expect = {1: ref[1], 2: ref[2], 3: ref[3], 4: ref[4], 100: ref[4]}
+    assert dict(zip(got.n_docs, got.n_terms)) == expect
+
+
 def test_quality_percentile_tie_semantics(ray_session, tmp_path):
     """percent_rank(): ties share the MIN rank, (rank-1)/(N-1)."""
     from themis_search_engine_ray.pipelines import text_analysis as ta

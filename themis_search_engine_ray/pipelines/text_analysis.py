@@ -845,6 +845,70 @@ def length_filter(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def vocab_growth(
+    sf_dir: str, thresholds: "tuple[int, ...]" = (10, 50, 100, 250, 500)
+):
+    """Vocabulary growth curve (the Heaps'-law diagnostic): the number
+    of distinct tokens among the first ``N`` documents (``doc_id <
+    N``), for a ladder of ``N``. Output: (n_docs, n_terms), rows only
+    for thresholds with at least one term.
+
+    One pass + one vocab-bounded shuffle: each batch emits its (term,
+    min doc_id) partials, ``groupby(term).Min`` merges them (Min is
+    the semilattice that makes per-batch partials lossless), then a
+    second map reduces every batch of first-occurrences to ≤
+    len(thresholds) partial-count rows (searchsorted + reversed
+    cumulative bincount — a term counts toward every threshold above
+    its first doc) and a final bounded ``groupby(n_docs).sum``
+    finishes. Nothing vocabulary-sized ever reaches the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    thr = np.asarray(sorted(thresholds), np.int64)
+
+    def first_seen(batch: pa.Table) -> pa.Table:
+        from ..stages.tokenize import token_codes_batch
+
+        uniq, codes, lens, n = token_codes_batch(batch["text"])
+        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        if len(uniq):
+            keep = real[codes]
+            doc_of, codes = doc_of[keep], codes[keep]
+        ids = batch["doc_id"].to_numpy().astype(np.int64)[doc_of]
+        order = np.lexsort((ids, codes))
+        c_s, i_s = codes[order], ids[order]
+        first = np.ones(c_s.size, bool)
+        if c_s.size:
+            first[1:] = c_s[1:] != c_s[:-1]
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array([uniq[c] for c in c_s[first]], pa.string()),
+                "first_doc": i_s[first],
+            }
+        )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        fd = batch["first_doc"].to_numpy().astype(np.int64)
+        idx = np.searchsorted(thr, fd, side="right")
+        per = np.bincount(idx, minlength=thr.size + 1)[: thr.size]
+        cnt = np.cumsum(per)  # terms first seen before each threshold
+        m = cnt > 0
+        return pa.Table.from_pydict(
+            {"n_docs": thr[m], "n_terms": cnt[m].astype(np.int64)}
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(first_seen, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Min("first_doc", alias_name="first_doc"))
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_docs")
+        .aggregate(Sum("n_terms", alias_name="n_terms"))
+    )
+
+
 def quality_percentile(sf_dir: str):
     """Percentile-rank normalization of the composite quality score —
     the form a corpus-relative quality floor actually wants ("drop the
