@@ -353,6 +353,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partials → Min groupby → bounded threshold counts; nothing
         # vocab-sized reaches the driver (value-exact)
         "vocab_growth": ta.vocab_growth,
+        # language × source routing cross-tab: the LangIdBatcher actor
+        # stage + in-batch count reduction (≤ sources×langs rows leave
+        # each batch) (value-exact)
+        "lang_by_source": ta.lang_by_source,
     }
 
 
@@ -1173,6 +1177,13 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT real_id AS doc_id, cluster, "
         f"CASE {_cl_whens} ELSE '{_cl_bounds[-1][0]}' END AS split "
         f"FROM ({_cl_chain})"
+    )
+    # lang × source cross-tab over the proven lang-ID subquery
+    out["lang_by_source"] = (
+        "SELECT coalesce(d.source, '') AS source, l.lang_pred, "
+        "CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM (" + _lang_id_sql() + ") l JOIN documents d ON d.doc_id = l.doc_id "
+        "GROUP BY 1, 2"
     )
     # Heaps curve: first-occurrence doc per term, counted per threshold
     out["vocab_growth"] = (

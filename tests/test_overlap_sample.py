@@ -221,6 +221,47 @@ def test_props_field_stats_semantics(ray_session, tmp_path):
     assert by == {"a": (2, 1, -2, 3), "b": (1, 7, 7, 7), "": (1, 1, 1, 1)}
 
 
+def test_lang_by_source_composes_lang_id(ray_session, tmp_path):
+    """The cross-tab equals the row-level LangIdBatcher composed with
+    a pandas groupby; NULL source counts under ''."""
+    import pandas as pd
+
+    from themis_search_engine_ray.pipelines import text_analysis as ta
+
+    texts = [
+        "the quick brown fox and the lazy dog are here",
+        "der schnelle braune fuchs und der faule hund",
+        "le renard brun rapide et le chien paresseux",
+        "12345 67890",  # no profile hits -> 'und'
+    ] * 2
+    sources = ["s1", "s1", "s2", None] * 2
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(sources, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = ta.lang_by_source(str(tmp_path)).to_pandas()
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    preds = ta.LangIdBatcher()(batch)["lang_pred"].to_pylist()
+    ref = (
+        pd.DataFrame({"source": [s or "" for s in sources], "lang_pred": preds})
+        .groupby(["source", "lang_pred"])
+        .size()
+        .to_dict()
+    )
+    assert {
+        (r.source, r.lang_pred): r.n_docs for r in got.itertuples()
+    } == ref
+    assert ("", "und") in ref  # the NULL-source bucket exists
+
+
 def test_vocab_growth_matches_reference(ray_session, tmp_path):
     """Heaps curve vs a running-set reference; terms repeated in later
     docs never count twice, thresholds below any content drop out."""

@@ -146,6 +146,61 @@ class LangIdBatcher:
         )
 
 
+def lang_by_source(sf_dir: str):
+    """Language × source cross-tab — the routing table a multilingual
+    curation pipeline keys its per-language branches on. Output:
+    (source, lang_pred, n_docs).
+
+    Composes the proven :class:`LangIdBatcher` stage (profiles built
+    once per actor) with an in-batch count reduction: every batch
+    leaves as ≤ #sources × #languages count rows, so the single final
+    ``groupby((source, lang)).sum`` is bounded by the cross-tab size,
+    not the corpus. NULL sources count under ``""`` (the mixing key
+    rule)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    class _Counter(LangIdBatcher):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pred = LangIdBatcher.__call__(self, batch)["lang_pred"]
+            src = pc.fill_null(batch["source"], "")
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+            if isinstance(pred, pa.ChunkedArray):
+                pred = pred.combine_chunks()
+            ds_ = src.dictionary_encode()
+            dl = pred.dictionary_encode()
+            sc = ds_.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            lc = dl.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            nl = len(dl.dictionary)
+            key = sc * max(1, nl) + lc
+            uk, cnt = np.unique(key, return_counts=True)
+            return pa.Table.from_arrays(
+                [
+                    ds_.dictionary.take(pa.array(uk // max(1, nl))),
+                    dl.dictionary.take(pa.array(uk % max(1, nl))),
+                    pa.array(cnt.astype(np.int64)),
+                ],
+                names=["source", "lang_pred", "n_docs"],
+            )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        .map_batches(
+            _Counter,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=2,
+            batch_size=2048,
+        )
+        .groupby(["source", "lang_pred"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
 def _karp_rabin(tokens: list[str], k: int) -> np.ndarray:
     """Rolling 64-bit hashes of k-grams of tokens (vectorized-ish)."""
     if len(tokens) < k:
