@@ -357,6 +357,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stage + in-batch count reduction (≤ sources×langs rows leave
         # each batch) (value-exact)
         "lang_by_source": ta.lang_by_source,
+        # per-doc n-gram novelty: one shingle-count shuffle, broadcast
+        # of the DUPLICATED tail only, one searchsorted probe pass
+        # (value-exact)
+        "ngram_novelty": dedup.ngram_novelty,
     }
 
 
@@ -1177,6 +1181,23 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT real_id AS doc_id, cluster, "
         f"CASE {_cl_whens} ELSE '{_cl_bounds[-1][0]}' END AS split "
         f"FROM ({_cl_chain})"
+    )
+    # novelty: distinct (doc, shingle) vs shingle doc-counts; the
+    # division mirrors the engine's (tot - shared) / tot op order
+    out["ngram_novelty"] = (
+        "WITH raw AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x != '') AS ts FROM documents), "
+        "toksj AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS ord FROM raw), "
+        "tri AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh "
+        "FROM toksj a JOIN toksj b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1 "
+        "JOIN toksj c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2), "
+        "tset AS (SELECT DISTINCT doc_id, sh FROM tri), "
+        "cnt AS (SELECT sh, count(*) AS c FROM tset GROUP BY sh), "
+        "per AS (SELECT t.doc_id, CAST(count(*) AS DOUBLE) AS tot, "
+        "CAST(count(*) FILTER (WHERE cnt.c >= 2) AS DOUBLE) AS shr "
+        "FROM tset t JOIN cnt ON cnt.sh = t.sh GROUP BY t.doc_id) "
+        "SELECT doc_id, CAST(tot AS BIGINT) AS n_shingles, "
+        "round((tot - shr) / tot, 6) AS novelty FROM per"
     )
     # lang × source cross-tab over the proven lang-ID subquery
     out["lang_by_source"] = (

@@ -221,6 +221,44 @@ def test_props_field_stats_semantics(ray_session, tmp_path):
     assert by == {"a": (2, 1, -2, 3), "b": (1, 7, 7, 7), "": (1, 1, 1, 1)}
 
 
+def test_ngram_novelty_matches_brute(ray_session, tmp_path):
+    """Novelty vs a brute shingle-count reference: exact duplicates
+    score 0, fully unique docs score 1, partial overlap in between;
+    docs shorter than k emit no row."""
+    from themis_search_engine_ray.pipelines import dedup as dd
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact dup -> 0
+        "completely novel words appearing only here today friends",
+        "the quick brown cat sits under the heavy table",  # shares 'the quick brown'
+        "too short",  # < 3 tokens -> no row
+        "",
+    ]
+    sf = _write_docs(tmp_path, texts, ["s"] * len(texts))
+    got = dd.ngram_novelty(sf).to_pandas()
+    counts = defaultdict(int)
+    per_doc = []
+    for t in texts:
+        toks = _TOK.findall((t or "").lower())
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        per_doc.append(sh)
+        for s in sh:
+            counts[s] += 1
+    ref = {}
+    for d, sh in enumerate(per_doc):
+        if sh:
+            uniq = sum(1 for s in sh if counts[s] == 1)
+            ref[d] = (len(sh), round((len(sh) - (len(sh) - uniq)) / len(sh), 6))
+    got_d = {r.doc_id: (r.n_shingles, r.novelty) for r in got.itertuples()}
+    assert set(got_d) == set(ref)
+    for d in ref:
+        assert got_d[d][0] == ref[d][0]
+    assert got_d[0][1] == 0.0 and got_d[1][1] == 0.0
+    assert got_d[2][1] == 1.0
+    assert 0.0 < got_d[3][1] < 1.0
+
+
 def test_lang_by_source_composes_lang_id(ray_session, tmp_path):
     """The cross-tab equals the row-level LangIdBatcher composed with
     a pandas groupby; NULL source counts under ''."""

@@ -552,6 +552,124 @@ def source_overlap(sf_dir: str, k: int = 3, num_shards: int = 64):
     )
 
 
+def ngram_novelty(sf_dir: str, k: int = 3, max_shared: int = 50_000_000):
+    """Per-document novelty score: the fraction of a document's
+    DISTINCT word-``k``-gram shingles that appear in NO other document
+    — the "favor novel content" curation signal (dup-heavy boilerplate
+    scores near 0, fresh text near 1). Output: (doc_id, n_shingles,
+    novelty) for documents with ≥ 1 shingle; novelty rounded to 6.
+
+    Two passes: (1) per-batch distinct (shingle, doc) collapse to
+    (shingle-md5, count) partials → one ``groupby.sum`` → only
+    shingles with count ≥ 2 (the SHARED set — the duplicated tail,
+    orders of magnitude smaller than the vocabulary of shingles) come
+    back and are broadcast once via ``ray.put`` as a sorted key array;
+    (2) each batch recomputes its docs' distinct shingles and probes
+    the broadcast keys with one ``searchsorted`` per batch. Shingles
+    are keyed by md5 on both sides, so the count — and therefore the
+    score — is exact vs the string-level SQL twin. Guarded by
+    ``max_shared``: past it, swap the broadcast probe for the
+    fully distributed gram-occurrence exchange already built for
+    :func:`~.spans.span_dedup` (same (gram → doc) groupby, mask
+    shipped back by bucket instead of a driver set)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.tokenize import token_codes_batch
+
+    def _doc_shingle_digests(batch: pa.Table):
+        """(doc_row_idx, digest16-hex array) of the batch's DISTINCT
+        (doc, shingle) combinations — dedup on integer token triples
+        before any string/md5 work (the source_overlap altitude)."""
+        uniq, codes, lens, n = token_codes_batch(batch["text"], lower_first=True)
+        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        if len(uniq):
+            keep = real[codes]
+            doc_of, codes = doc_of[keep], codes[keep]
+        m = codes.size
+        if m < k:
+            return np.empty(0, np.int64), []
+        nw = m - k + 1
+        valid = doc_of[:nw] == doc_of[k - 1 :]
+        tri = np.stack(
+            [doc_of[:nw][valid]] + [codes[j : j + nw][valid] for j in range(k)],
+            axis=1,
+        )
+        tri = np.unique(tri, axis=0)
+        strings = [" ".join(uniq[c] for c in row[1:]) for row in tri.tolist()]
+        return tri[:, 0], strings
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        docs, strings = _doc_shingle_digests(batch)
+        if not strings:
+            return pa.Table.from_pydict(
+                {"h": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        h = np.asarray(md5_hex_array(strings), dtype=object)
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.Table.from_pydict(
+            {"h": pa.array(uh.tolist(), pa.string()), "c": cnt.astype(np.int64)}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    shared_tab = (
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b["c"], 2)).select(["h"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()  # the duplicated tail only — NOT the shingle vocab
+    )
+    if len(shared_tab) > max_shared:
+        raise ValueError(
+            f"shared-shingle set ({len(shared_tab)} rows) exceeds max_shared="
+            f"{max_shared}; use the distributed gram-occurrence exchange "
+            "(spans.span_dedup machinery) instead of the broadcast probe"
+        )
+    shared_sorted = np.sort(shared_tab["h"].to_numpy().astype(object))
+    ref = ray.put(shared_sorted)
+
+    def score(batch: pa.Table) -> pa.Table:
+        shared = ray.get(ref)
+        docs, strings = _doc_shingle_digests(batch)
+        if not strings:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "novelty": pa.array([], pa.float64()),
+                }
+            )
+        h = np.asarray(md5_hex_array(strings), dtype=object)
+        if shared.size:
+            pos = np.searchsorted(shared, h)
+            pos[pos >= shared.size] = shared.size - 1
+            is_shared = shared[pos] == h
+        else:
+            is_shared = np.zeros(h.size, bool)
+        nd = int(docs.max()) + 1 if docs.size else 0
+        tot = np.bincount(docs, minlength=nd).astype(np.float64)
+        shr = np.bincount(docs[is_shared], minlength=nd).astype(np.float64)
+        has = tot > 0
+        ids = batch["doc_id"].to_numpy().astype(np.int64)[:nd][has]
+        t_, s_ = tot[has], shr[has]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids,
+                "n_shingles": t_.astype(np.int64),
+                "novelty": round_half_up((t_ - s_) / t_, 6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------- n-gram Jaccard
 
 
