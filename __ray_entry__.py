@@ -361,6 +361,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of the DUPLICATED tail only, one searchsorted probe pass
         # (value-exact)
         "ngram_novelty": dedup.ngram_novelty,
+        # weekly retention cohorts: distinct (user, week) per batch,
+        # ONE user-hash-sharded exchange (a user lives in one shard so
+        # distinct counts add), lexsort+segment cohort derivation
+        # (value-exact)
+        "retention_cohorts": windows.retention_cohorts,
     }
 
 
@@ -1181,6 +1186,15 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT real_id AS doc_id, cluster, "
         f"CASE {_cl_whens} ELSE '{_cl_bounds[-1][0]}' END AS split "
         f"FROM ({_cl_chain})"
+    )
+    # cohorts: distinct (user, week) → per-user min week → pair counts
+    out["retention_cohorts"] = (
+        "WITH uw AS (SELECT DISTINCT user_id, "
+        "CAST(epoch_us(ts) // CAST(604800000000 AS BIGINT) AS BIGINT) AS wk FROM events), "
+        "c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id) "
+        "SELECT c.cohort AS cohort_week, uw.wk AS active_week, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM uw JOIN c ON c.user_id = uw.user_id GROUP BY 1, 2"
     )
     # novelty: distinct (doc, shingle) vs shingle doc-counts; the
     # division mirrors the engine's (tot - shared) / tot op order

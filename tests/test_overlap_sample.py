@@ -221,6 +221,40 @@ def test_props_field_stats_semantics(ray_session, tmp_path):
     assert by == {"a": (2, 1, -2, 3), "b": (1, 7, 7, 7), "": (1, 1, 1, 1)}
 
 
+def test_retention_cohorts_semantics(ray_session, tmp_path):
+    """Crafted cohorts: users keyed to their first-event week; distinct
+    users per (cohort, active week); invariant to shard count."""
+    from themis_search_engine_ray.pipelines import windows
+
+    wk = 7 * 86400 * 1_000_000
+    # u1: weeks 0,1,2 ; u2: weeks 0,2 ; u3: week 1 only ; u4: week 2
+    rows = [
+        (1, 0), (1, wk), (1, 2 * wk), (1, 10),  # dup week-0 event
+        (2, 100), (2, 2 * wk + 5),
+        (3, wk + 50),
+        (4, 2 * wk + 9),
+    ]
+    tab = pa.table(
+        {
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    expect = {
+        (0, 0): 2,  # u1, u2
+        (0, 1): 1,  # u1
+        (0, 2): 2,  # u1, u2
+        (1, 1): 1,  # u3
+        (2, 2): 1,  # u4
+    }
+    for shards in (1, 64):
+        got = windows.retention_cohorts(str(tmp_path), num_shards=shards).to_pandas()
+        assert {
+            (r.cohort_week, r.active_week): r.n_users for r in got.itertuples()
+        } == expect
+
+
 def test_ngram_novelty_matches_brute(ray_session, tmp_path):
     """Novelty vs a brute shingle-count reference: exact duplicates
     score 0, fully unique docs score 1, partial overlap in between;

@@ -500,3 +500,72 @@ def props_field_stats(sf_dir: str, field: str = "k"):
             Max("max_v", alias_name="max_v"),
         )
     )
+
+
+def retention_cohorts(
+    sf_dir: str, width_s: int = 7 * 86400, num_shards: int = 64
+):
+    """Cohort retention analysis: users grouped by the epoch-relative
+    window (default week) of their FIRST event; for every (cohort,
+    active window) pair, the number of that cohort's distinct users
+    active in the window. Output: (cohort_week, active_week, n_users).
+
+    One shuffle, and it is COARSE: each batch reduces to its distinct
+    (user, week) pairs, the exchange shards by a hash of user_id (a
+    user lives in exactly one shard, so distinct-user counts add up
+    across shards without a second dedup), and inside a shard one
+    lexsort + segment pass derives each user's cohort (min week) and
+    emits ≤ windows² partial counts. Never a per-user group. Windows
+    are integer microsecond floor divisions — exact at any scale."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .similarity import _splitmix64 as _sm64
+
+    width_us = np.int64(width_s) * np.int64(1_000_000)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().view("int64")
+        users = batch["user_id"].to_numpy().astype(np.int64)
+        wk = ts // width_us
+        pairs = np.unique(np.stack([users, wk], axis=1), axis=0)
+        with np.errstate(over="ignore"):
+            shard = (
+                _sm64(pairs[:, 0].astype(np.uint64)) % np.uint64(num_shards)
+            ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"user_id": pairs[:, 0], "wk": pairs[:, 1], "shard": shard}
+        )
+
+    def reduce_shard(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy().astype(np.int64)
+        w = group["wk"].to_numpy().astype(np.int64)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        first = np.ones(u.size, bool)
+        if u.size:
+            first[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        u, w = u[first], w[first]  # distinct across batches
+        new_u = np.ones(u.size, bool)
+        if u.size:
+            new_u[1:] = u[1:] != u[:-1]
+        seg = np.flatnonzero(new_u)[np.cumsum(new_u) - 1]
+        cohort = w[seg]  # per-row: its user's min week (w sorted per user)
+        key = np.stack([cohort, w], axis=1)
+        uk, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "cohort_week": uk[:, 0],
+                "active_week": uk[:, 1],
+                "n_users": cnt.astype(np.int64),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(reduce_shard, batch_format="pyarrow")
+        .groupby(["cohort_week", "active_week"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
