@@ -72,6 +72,15 @@ def test_collocations_pmi_min_count_prunes(ray_session, tmp_path):
     assert ta.collocations_pmi(sf, min_count=3).to_pandas().empty
 
 
+def test_collocations_pmi_empty_corpus(ray_session, tmp_path):
+    """A 0-row documents table returns an empty typed result instead of
+    crashing on Dataset.sum() -> None (regression)."""
+    sf = _write_docs(tmp_path, [])
+    got = ta.collocations_pmi(sf)
+    assert got.count() == 0
+    assert set(got.schema().names) == {"w1", "w2", "pair_count", "pmi"}
+
+
 def _tfidf_reference(texts, k):
     n = float(len(texts))
     per_doc = [Counter(_toks(t)) for t in texts]

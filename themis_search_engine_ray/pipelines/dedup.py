@@ -448,15 +448,10 @@ def source_overlap(sf_dir: str, k: int = 3, num_shards: int = 64):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from ..stages.tokenize import token_codes_batch
+    from ..stages.tokenize import kept_token_codes
 
     def emit(batch: pa.Table) -> pa.Table:
-        uniq, codes, lens, n = token_codes_batch(batch["text"], lower_first=True)
-        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
-        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
-        if len(uniq):
-            keep = real[codes]
-            doc_of, codes = doc_of[keep], codes[keep]
+        uniq, codes, doc_of, n = kept_token_codes(batch["text"], lower_first=True)
         src_col = pc.fill_null(batch["source"], "")
         if isinstance(src_col, pa.ChunkedArray):
             src_col = src_col.combine_chunks()
@@ -577,18 +572,13 @@ def ngram_novelty(sf_dir: str, k: int = 3, max_shared: int = 50_000_000):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from ..stages.tokenize import token_codes_batch
+    from ..stages.tokenize import kept_token_codes
 
     def _doc_shingle_digests(batch: pa.Table):
         """(doc_row_idx, digest16-hex array) of the batch's DISTINCT
         (doc, shingle) combinations — dedup on integer token triples
         before any string/md5 work (the source_overlap altitude)."""
-        uniq, codes, lens, n = token_codes_batch(batch["text"], lower_first=True)
-        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
-        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
-        if len(uniq):
-            keep = real[codes]
-            doc_of, codes = doc_of[keep], codes[keep]
+        uniq, codes, doc_of, n = kept_token_codes(batch["text"], lower_first=True)
         m = codes.size
         if m < k:
             return np.empty(0, np.int64), []

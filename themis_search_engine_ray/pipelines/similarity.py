@@ -409,12 +409,23 @@ def knn_label_consistency(
 
     def _partial_rows(ids_r, labs_r, ids_c, labs_c, cos):
         """Per row of `cos`: its top-(k+1) columns by (cos desc, id asc),
-        self filtered out, capped at k — the knn_brute selection."""
+        self filtered out, capped at k — the knn_brute selection. Per
+        row: O(C) argpartition to a candidate set (widened to ALL
+        boundary ties so exact cosine ties at the cutoff still resolve
+        by id, not partition order), then a small lexsort of just the
+        candidates — no full per-row sort."""
         kk = min(k + 1, ids_c.size)
         out = []
         for r in range(ids_r.size):
             row = cos[r]
-            sel = np.lexsort((ids_c, -row))[:kk]
+            if kk == ids_c.size:
+                cand = np.arange(ids_c.size)
+            else:
+                part = np.argpartition(-row, kk - 1)[:kk]
+                thr = row[part].min()
+                cand = np.flatnonzero(row >= thr)
+            order = np.lexsort((ids_c[cand], -row[cand]))
+            sel = cand[order][:kk]
             sel = sel[ids_c[sel] != ids_r[r]][:k]
             out.append(
                 (
@@ -439,12 +450,9 @@ def knn_label_consistency(
             else:
                 ids_b, lab_b, mat_b = _load(refs[j])
             cos = mat_a @ mat_b.T
-            for cols, args in (
-                ((vs, ls, nls, cs, nids), (ids_a, lab_a, ids_b, lab_b, cos)),
-            ):
-                got = _partial_rows(*args)
-                for acc, arr in zip(cols, got):
-                    acc.append(arr)
+            got = _partial_rows(ids_a, lab_a, ids_b, lab_b, cos)
+            for acc, arr in zip((vs, ls, nls, cs, nids), got):
+                acc.append(arr)
             if i != j:
                 got = _partial_rows(ids_b, lab_b, ids_a, lab_a, cos.T)
                 for acc, arr in zip((vs, ls, nls, cs, nids), got):

@@ -722,14 +722,10 @@ def collocations_pmi(sf_dir: str, min_count: int = 5):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def emit(batch: pa.Table) -> pa.Table:
-        from ..stages.tokenize import token_codes_batch
+        from ..stages.tokenize import kept_token_codes
 
-        uniq, codes, lens, n = token_codes_batch(batch["text"])
+        uniq, codes, doc_of, n = kept_token_codes(batch["text"])
         v = max(1, len(uniq))
-        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
-        keep = real[codes] if len(uniq) else np.zeros(0, bool)
-        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)[keep]
-        codes = codes[keep]
         ucodes, ucounts = np.unique(codes, return_counts=True)
         adj = doc_of[1:] == doc_of[:-1]
         pair_key = codes[:-1][adj] * v + codes[1:][adj]
@@ -751,30 +747,30 @@ def collocations_pmi(sf_dir: str, min_count: int = 5):
         .materialize()  # vocab²-bounded reduced table, NOT the corpus
     )
 
+    # grand total − unigram total = bigram total; Dataset.sum returns
+    # None on an empty dataset (empty corpus), which also means no
+    # bigrams can survive min_count — emit the empty result directly
+    total = counts.sum(on="count")
+    if total is None:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "pair_count": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        )
     uni = counts.map_batches(
         lambda b: b.filter(pc.equal(b["w2"], "")),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).to_pandas()
     n_u = float(uni["count"].sum())
-    n_b = float(
-        counts.map_batches(
-            lambda b: pa.Table.from_pydict(
-                {
-                    "s": [
-                        int(
-                            pc.sum(
-                                b.filter(pc.not_equal(b["w2"], ""))["count"]
-                            ).as_py()
-                            or 0
-                        )
-                    ]
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).sum(on="s")
-    )
+    n_b = float(int(total) - int(n_u))
     uni_terms = pa.array(uni["w1"].to_numpy(), pa.string())
     uni_counts = uni["count"].to_numpy().astype(np.float64)
     ref = ray.put((uni_terms, uni_counts, n_u, n_b))
@@ -922,14 +918,9 @@ def vocab_growth(
     thr = np.asarray(sorted(thresholds), np.int64)
 
     def first_seen(batch: pa.Table) -> pa.Table:
-        from ..stages.tokenize import token_codes_batch
+        from ..stages.tokenize import kept_token_codes
 
-        uniq, codes, lens, n = token_codes_batch(batch["text"])
-        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
-        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
-        if len(uniq):
-            keep = real[codes]
-            doc_of, codes = doc_of[keep], codes[keep]
+        uniq, codes, doc_of, n = kept_token_codes(batch["text"])
         ids = batch["doc_id"].to_numpy().astype(np.int64)[doc_of]
         order = np.lexsort((ids, codes))
         c_s, i_s = codes[order], ids[order]
@@ -988,7 +979,11 @@ def quality_percentile(sf_dir: str):
         return q.select(["doc_id", "quality_score"])
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    scored = ds.map_batches(score_only, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize the tiny (doc_id, float64) projection so the second
+    # pass does not re-run quality_batch over the whole corpus
+    scored = ds.map_batches(
+        score_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def hist(batch: pa.Table) -> pa.Table:
         keys = np.round(
@@ -1053,14 +1048,11 @@ def tfidf_keywords(sf_dir: str, k: int = 5):
     n_docs = float(ds.count())
 
     def partial_df(batch: pa.Table) -> pa.Table:
-        from ..stages.tokenize import token_codes_batch
+        from ..stages.tokenize import kept_token_codes
 
-        uniq, codes, lens, n = token_codes_batch(batch["text"])
+        uniq, codes, doc_of, n = kept_token_codes(batch["text"])
         v = max(1, len(uniq))
-        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
-        keep = real[codes] if len(uniq) else np.zeros(0, bool)
-        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)[keep]
-        pairs = np.unique(doc_of * v + codes[keep])
+        pairs = np.unique(doc_of * v + codes)
         pcodes, pdf = np.unique(pairs % v, return_counts=True)
         return pa.Table.from_pydict(
             {
@@ -1080,15 +1072,12 @@ def tfidf_keywords(sf_dir: str, k: int = 5):
     ref = ray.put((terms_arr, idf))
 
     def topk(batch: pa.Table) -> pa.Table:
-        from ..stages.tokenize import token_codes_batch
+        from ..stages.tokenize import kept_token_codes
 
         terms, idf_v = ray.get(ref)
-        uniq, codes, lens, n = token_codes_batch(batch["text"])
+        uniq, codes, doc_of, n = kept_token_codes(batch["text"])
         v = max(1, len(uniq))
-        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
-        keep = real[codes] if len(uniq) else np.zeros(0, bool)
-        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)[keep]
-        pkeys, tf = np.unique(doc_of * v + codes[keep], return_counts=True)
+        pkeys, tf = np.unique(doc_of * v + codes, return_counts=True)
         row_doc, row_code = pkeys // v, pkeys % v
         uniq_arr = pa.array(uniq, pa.string())
         # '' (doc-boundary artifact) is in the batch vocab but never in

@@ -124,6 +124,23 @@ def token_codes_batch(text_col, lower_first: bool = False):
     return uniq, codes, lens, n
 
 
+def kept_token_codes(text_col, lower_first: bool = False):
+    """:func:`token_codes_batch` with the ``''`` boundary artifacts
+    already masked out: returns ``(uniq, codes, doc_of, n)`` where
+    ``codes``/``doc_of`` are the per-token code and document index of
+    every REAL token, in stream order (within-doc adjacency preserved —
+    artifacts only ever sit at document boundaries). ``uniq`` may still
+    contain the ``''`` entry; no kept code references it. The shared
+    preamble of the counting/shingling pipelines."""
+    uniq, codes, lens, n = token_codes_batch(text_col, lower_first=lower_first)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    if len(uniq):
+        real = np.fromiter((bool(t) for t in uniq), bool, len(uniq))
+        keep = real[codes]
+        doc_of, codes = doc_of[keep], codes[keep]
+    return uniq, codes, doc_of, n
+
+
 def batch_token_counts(text_col) -> tuple[list[str], np.ndarray]:
     """Whole-batch token counts, row-wise identical to summing
     ``Counter(tokenize(text))`` over the batch: returns (tokens, counts)
