@@ -366,6 +366,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct counts add), lexsort+segment cohort derivation
         # (value-exact)
         "retention_cohorts": windows.retention_cohorts,
+        # stratified exactly-k per source: group-wise bottom-k md5
+        # order statistic, ≤k rows per source leave each batch
+        # (value-exact)
+        "sample_per_source": sampling.sample_per_source,
     }
 
 
@@ -1186,6 +1190,14 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT real_id AS doc_id, cluster, "
         f"CASE {_cl_whens} ELSE '{_cl_bounds[-1][0]}' END AS split "
         f"FROM ({_cl_chain})"
+    )
+    # per-source bottom-k sample: the partitioned twin of sample_exact_k
+    out["sample_per_source"] = (
+        "WITH keyed AS (SELECT coalesce(source, '') AS source, doc_id, "
+        "md5(CAST(doc_id AS VARCHAR)) AS sample_key FROM documents) "
+        "SELECT source, doc_id, sample_key FROM keyed "
+        "QUALIFY row_number() OVER (PARTITION BY source "
+        "ORDER BY sample_key, doc_id) <= 10"
     )
     # cohorts: distinct (user, week) → per-user min week → pair counts
     out["retention_cohorts"] = (

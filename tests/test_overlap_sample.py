@@ -108,6 +108,21 @@ def test_sample_exact_k_fewer_rows_than_k(ray_session, tmp_path):
     assert len(got) == 5
 
 
+def test_sample_per_source_stratified(ray_session, tmp_path):
+    """Exactly k per source (fewer for small sources), each source's
+    picks = the k smallest md5 keys among ITS docs."""
+    sources = ["a"] * 50 + ["b"] * 50 + ["tiny"] * 2
+    sf = _write_docs(tmp_path, ["x"] * len(sources), sources)
+    got = sampling.sample_per_source(sf, k=5).to_pandas()
+    by_src = got.groupby("source").doc_id.apply(list).to_dict()
+    assert len(by_src["a"]) == 5 and len(by_src["b"]) == 5
+    assert len(by_src["tiny"]) == 2
+    for src, picked in by_src.items():
+        ids = [i for i, s in enumerate(sources) if s == src]
+        ref = [i for _, i in _bottomk_reference(ids, 5)]
+        assert sorted(picked) == sorted(ref)
+
+
 def _quantile_cont_ref(vals, q):
     vals = sorted(vals)
     n = len(vals)

@@ -129,6 +129,82 @@ def sample_exact_k(sf_dir: str, k: int = 200):
     )
 
 
+def sample_per_source(sf_dir: str, k: int = 10):
+    """Stratified exactly-``k`` sample: the ``k`` rows with the
+    smallest ``md5(doc_id)`` keys WITHIN EACH SOURCE (fewer if a source
+    has fewer rows) — :func:`sample_exact_k`'s bottom-k order statistic
+    applied group-wise, the deterministic equivalent of per-stratum
+    reservoir sampling. Output: (source, doc_id, sample_key).
+
+    Same two-level shape as :func:`top_per_source`: each batch reduces
+    to ≤ k rows per source it contains (one lexsort + running
+    group-start rank), so the ``groupby(source)`` exchange moves
+    ``k × blocks`` rows per source and the final per-source pass ranks
+    a bounded candidate set. NULL sources sample under ``""``."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .dedup import md5_hex_array
+
+    def _bottomk(src_codes, keys, ids, n):
+        order = np.lexsort((ids, keys, src_codes))
+        sc = src_codes[order]
+        first = np.ones(sc.size, bool)
+        if sc.size:
+            first[1:] = sc[1:] != sc[:-1]
+        seg = np.flatnonzero(first)[np.cumsum(first) - 1]
+        rank = np.arange(sc.size) - seg
+        return order[rank < n]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        keys = np.asarray(
+            md5_hex_array([str(i) for i in ids.tolist()]), dtype=object
+        )
+        src = pc.fill_null(batch["source"], "")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        codes = (
+            src.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = _bottomk(codes, keys, ids, k)
+        return pa.Table.from_arrays(
+            [
+                src.take(pa.array(keep)),
+                pa.array(ids[keep], pa.int64()),
+                pa.array(keys[keep].tolist(), pa.string()),
+            ],
+            names=["source", "doc_id", "sample_key"],
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy().astype(np.int64)
+        keys = np.asarray(group["sample_key"].to_pylist(), dtype=object)
+        keep = _bottomk(np.zeros(ids.size, np.int64), keys, ids, k)
+        src = group["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                src.take(pa.array(keep)),
+                pa.array(ids[keep], pa.int64()),
+                pa.array(keys[keep].tolist(), pa.string()),
+            ],
+            names=["source", "doc_id", "sample_key"],
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def _quantile_cont(sorted_vals: np.ndarray, q: float) -> float:
     """SQL quantile_cont: X[l] + (rn - l)·(X[u] - X[l]) over sorted
     values — DuckDB's exact op order, for oracle value-equality."""
