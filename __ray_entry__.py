@@ -370,6 +370,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order statistic, ≤k rows per source leave each batch
         # (value-exact)
         "sample_per_source": sampling.sample_per_source,
+        # per-source duplication rate: one content-hash groupby + two
+        # ≤#sources-row combiners; one division per source
+        # (value-exact)
+        "dedup_rate_by_source": dedup.dedup_rate_by_source,
     }
 
 
@@ -1190,6 +1194,15 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT real_id AS doc_id, cluster, "
         f"CASE {_cl_whens} ELSE '{_cl_bounds[-1][0]}' END AS split "
         f"FROM ({_cl_chain})"
+    )
+    # per-source dup rate: distinct-text vs doc counts, one division
+    out["dedup_rate_by_source"] = (
+        "SELECT coalesce(source, '') AS source, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct, "
+        "round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) "
+        "/ CAST(count(*) AS DOUBLE), 6) AS dup_rate "
+        "FROM documents GROUP BY 1"
     )
     # per-source bottom-k sample: the partitioned twin of sample_exact_k
     out["sample_per_source"] = (

@@ -236,6 +236,33 @@ def test_props_field_stats_semantics(ray_session, tmp_path):
     assert by == {"a": (2, 1, -2, 3), "b": (1, 7, 7, 7), "": (1, 1, 1, 1)}
 
 
+def test_dedup_rate_by_source_semantics(ray_session, tmp_path):
+    """Duplicates counted per source; NULL source under ''."""
+    from themis_search_engine_ray.pipelines import dedup as dd
+
+    texts = ["a", "a", "a", "b", "x", "y", "x", "z"]
+    sources = ["s1", "s1", "s1", "s1", "s2", "s2", None, None]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(sources, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = dd.dedup_rate_by_source(str(tmp_path)).to_pandas()
+    by = {
+        r.source: (r.n_docs, r.n_distinct, r.dup_rate) for r in got.itertuples()
+    }
+    assert by == {
+        "s1": (4, 2, 0.5),
+        "s2": (2, 2, 0.0),
+        "": (2, 2, 0.0),
+    }
+
+
 def test_retention_cohorts_semantics(ray_session, tmp_path):
     """Crafted cohorts: users keyed to their first-event week; distinct
     users per (cohort, active week); invariant to shard count."""

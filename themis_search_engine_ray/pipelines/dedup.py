@@ -547,6 +547,76 @@ def source_overlap(sf_dir: str, k: int = 3, num_shards: int = 64):
     )
 
 
+def dedup_rate_by_source(sf_dir: str):
+    """Per-source duplication diagnostic: document count, distinct-text
+    count, and the duplicate fraction ``1 − distinct/docs`` (rounded to
+    6) — the first number a curation run reports per ingest source.
+    Output: (source, n_docs, n_distinct, dup_rate).
+
+    Two bounded aggregations: (1) per-batch (source → doc count)
+    combiner (≤ #sources rows per batch); (2) the exact-dedup content
+    hash per row → ``groupby((text_hash, source)).count`` — the same
+    corpus-keyed shuffle :func:`exact_dedup` already pays — whose
+    output collapses through a second ≤ #sources-rows combiner to
+    distinct-text counts. The two tiny tables meet on the driver
+    (≤ #sources rows each); the division is one float op per source,
+    identical to the SQL twin. NULL sources count under ``""``."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        src = pc.fill_null(batch["source"], "")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        return pa.Table.from_arrays(
+            [md5_hex_array(batch["text"]), src], names=["text_hash", "source"]
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def src_counts(batch: pa.Table) -> pa.Table:
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uc, cnt = np.unique(codes, return_counts=True)
+        return pa.Table.from_arrays(
+            [d.dictionary.take(pa.array(uc)), pa.array(cnt.astype(np.int64))],
+            names=["source", "n"],
+        )
+
+    docs = (
+        tagged.map_batches(src_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()
+    )
+    distinct = (
+        tagged.groupby(["text_hash", "source"])
+        .aggregate(Count(alias_name="c"))
+        .map_batches(src_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    merged = docs.merge(distinct, on="source").sort_values("source")
+    nd = merged["n_docs"].to_numpy().astype(np.int64)
+    nu = merged["n_distinct"].to_numpy().astype(np.int64)
+    rate = round_half_up(1.0 - nu.astype(np.float64) / nd.astype(np.float64), 6)
+    return pa.Table.from_pydict(
+        {
+            "source": pa.array(merged["source"].tolist(), pa.string()),
+            "n_docs": nd,
+            "n_distinct": nu,
+            "dup_rate": rate,
+        }
+    )
+
+
 def ngram_novelty(sf_dir: str, k: int = 3, max_shared: int = 50_000_000):
     """Per-document novelty score: the fraction of a document's
     DISTINCT word-``k``-gram shingles that appear in NO other document
