@@ -374,6 +374,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ≤#sources-row combiners; one division per source
         # (value-exact)
         "dedup_rate_by_source": dedup.dedup_rate_by_source,
+        # per-source exact length quantiles: (source, n_tokens, cnt)
+        # histogram partials, driver takes order statistics off each
+        # source's slice — no sort anywhere (value-exact)
+        "length_quantiles_by_source": ta.length_quantiles_by_source,
     }
 
 
@@ -1194,6 +1198,18 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT real_id AS doc_id, cluster, "
         f"CASE {_cl_whens} ELSE '{_cl_bounds[-1][0]}' END AS split "
         f"FROM ({_cl_chain})"
+    )
+    # per-source length quantiles: quantile_cont per source partition
+    out["length_quantiles_by_source"] = (
+        "WITH t AS (SELECT coalesce(source, '') AS source, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens "
+        "FROM documents) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "quantile_cont(n_tokens, 0.25) AS q25, "
+        "quantile_cont(n_tokens, 0.5) AS q50, "
+        "quantile_cont(n_tokens, 0.75) AS q75, "
+        "quantile_cont(n_tokens, 0.95) AS q95 "
+        "FROM t GROUP BY source"
     )
     # per-source dup rate: distinct-text vs doc counts, one division
     out["dedup_rate_by_source"] = (

@@ -236,6 +236,23 @@ def test_props_field_stats_semantics(ray_session, tmp_path):
     assert by == {"a": (2, 1, -2, 3), "b": (1, 7, 7, 7), "": (1, 1, 1, 1)}
 
 
+def test_length_quantiles_by_source(ray_session, tmp_path):
+    """Per-source quantile_cont over token counts, vs the expanded
+    reference per source."""
+    from themis_search_engine_ray.pipelines import text_analysis as ta
+
+    texts = [" ".join(["t"] * n) for n in (1, 2, 3, 4)] + [
+        " ".join(["t"] * n) for n in (10, 20)
+    ]
+    sources = ["a"] * 4 + ["b"] * 2
+    sf = _write_docs(tmp_path, texts, sources)
+    got = ta.length_quantiles_by_source(sf).to_pandas().set_index("source")
+    assert got.loc["a", "n_docs"] == 4
+    assert got.loc["a", "q50"] == _quantile_cont_ref([1, 2, 3, 4], 0.5)
+    assert got.loc["a", "q95"] == _quantile_cont_ref([1, 2, 3, 4], 0.95)
+    assert got.loc["b", "q25"] == _quantile_cont_ref([10, 20], 0.25)
+
+
 def test_dedup_rate_by_source_semantics(ray_session, tmp_path):
     """Duplicates counted per source; NULL source under ''."""
     from themis_search_engine_ray.pipelines import dedup as dd

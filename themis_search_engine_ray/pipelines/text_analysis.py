@@ -955,6 +955,76 @@ def vocab_growth(
     )
 
 
+def length_quantiles_by_source(
+    sf_dir: str, quantiles: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.95)
+):
+    """Per-source document-length distribution: exact
+    ``quantile_cont`` of the alnum token count within each source —
+    the per-ingest-source shape report that length filtering policies
+    are tuned against. Output: (source, n_docs, q25, q50, q75, q95).
+
+    Same exact-histogram trick as :func:`length_filter`, partitioned:
+    token counts are small integers, so each batch reduces to
+    (source, n_tokens, cnt) partials, one bounded groupby merges them,
+    and the driver takes each source's order statistics off its
+    histogram slice with :func:`hist_order_stat` (bit-equal to the SQL
+    window's interpolation) — no sort, nothing corpus-sized anywhere.
+    NULL sources report under ``""``."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        n = (
+            pc.count_substring_regex(t, _ALNUM_RE.pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        src = pc.fill_null(batch["source"], "")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        span = int(n.max()) + 1 if n.size else 1
+        key = codes * span + n
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.Table.from_arrays(
+            [
+                d.dictionary.take(pa.array(uk // span)),
+                pa.array(uk % span, pa.int64()),
+                pa.array(cnt.astype(np.int64)),
+            ],
+            names=["source", "n_tokens", "cnt"],
+        )
+
+    h = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "n_tokens"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # ≤ #sources × max-doc-length rows, never the corpus
+        .sort_values(["source", "n_tokens"])
+    )
+    out: dict = {"source": [], "n_docs": []}
+    qnames = [f"q{int(q * 100)}" for q in quantiles]
+    for name in qnames:
+        out[name] = []
+    for src, grp in h.groupby("source", sort=True):
+        vals = grp["n_tokens"].to_numpy().astype(np.int64)
+        ccum = np.cumsum(grp["cnt"].to_numpy().astype(np.int64))
+        out["source"].append(src)
+        out["n_docs"].append(int(ccum[-1]))
+        for name, q in zip(qnames, quantiles):
+            out[name].append(hist_order_stat(vals, ccum, q))
+    return pa.Table.from_pydict(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            **{n: pa.array(out[n], pa.float64()) for n in qnames},
+        }
+    )
+
+
 def quality_percentile(sf_dir: str):
     """Percentile-rank normalization of the composite quality score —
     the form a corpus-relative quality floor actually wants ("drop the
